@@ -146,15 +146,22 @@ def find_leds(
     roi: jnp.ndarray,
     params: BlobParams,
     camera: Camera,
+    min_area: jnp.ndarray | None = None,
+    max_area: jnp.ndarray | None = None,
 ) -> Detections:
     """Detect LED blobs in a frame.
 
     image : (H, W) uint8/float grayscale (the red channel upstream,
             cf. pf_mpe/src/monocular_pose_estimator.cpp:267-268)
     roi   : (4,) [x0, y0, width, height] in pixels (dynamic values)
+    min_area/max_area : optional *traced* overrides of the blob-area
+            bounds, for the tracker's distance-adaptive thresholds
+            (pose_estimator.cpp:435-439) without recompilation.
     """
     h, w = image.shape
     img = image.astype(jnp.float32)
+    min_area = jnp.asarray(params.min_blob_area if min_area is None else min_area, jnp.float32)
+    max_area = jnp.asarray(params.max_blob_area if max_area is None else max_area, jnp.float32)
 
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -175,11 +182,18 @@ def find_leds(
     labels = connected_components(fg, params.cc_sweeps)
 
     # Top-K component ids: each component's maximal pixel sees its own
-    # flat index as its label.
+    # flat index as its label.  Slots are contended, so rank components
+    # by in-range area first — spurious specks and giant glare regions
+    # only get slots after every plausible LED blob has one.
     k_cap = params.max_detections
     flat = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
-    roots = jnp.where(fg & (labels == flat), labels, 0).reshape(-1)
-    comp_ids, _ = jax.lax.top_k(roots, k_cap)  # (K,) descending, 0-padded
+    label_areas = jnp.bincount(labels.reshape(-1), length=h * w + 1)  # area per label id
+    is_root = fg & (labels == flat)
+    root_area = jnp.where(is_root, label_areas[labels], 0).reshape(-1).astype(jnp.float32)
+    in_range = (root_area >= min_area) & (root_area <= max_area) & (root_area > 0)
+    score = jnp.where(in_range, root_area + jnp.float32(1e6), root_area)
+    _, top_idx = jax.lax.top_k(score, k_cap)
+    comp_ids = jnp.where(root_area[top_idx] > 0, top_idx.astype(jnp.int32) + 1, 0)  # (K,)
 
     # Component membership (K, H*W) against features (H*W, F) on the MXU.
     lab_flat = labels.reshape(-1)
@@ -213,8 +227,8 @@ def find_leds(
     circ_h = jnp.abs(1.0 - area / (math.pi * (bb_h / 2.0) ** 2))
     valid = (
         (comp_ids > 0)
-        & (area >= params.min_blob_area)
-        & (area <= params.max_blob_area)
+        & (area >= min_area)
+        & (area <= max_area)
         & (jnp.abs(1.0 - ratio) <= params.max_width_height_distortion)
         & (circ_w <= params.max_circular_distortion)
         & (circ_h <= params.max_circular_distortion)

@@ -1,0 +1,133 @@
+"""Gauss-Newton pose refinement on SE(3), jittable and batchable.
+
+Functional parity target: PoseEstimator::optimisePose
+(pf_mpe_lib/src/pose_estimator.cpp:1805-2009) with the Eade A.14 projection
+Jacobian (computeJacobian, :2163-2192), left-multiplicative update
+T <- exp(dT) @ T, LDLT normal equations, and covariance (J^T R^-1 J)^-1.
+
+TPU redesign:
+  * fixed iteration budget with a convergence mask instead of `break`
+    (data-dependent early exit doesn't exist under jit); converged poses
+    simply stop moving, so the result is identical;
+  * correspondences arrive as a fixed-size (C, 2) (marker, detection)
+    index array with -1 padding — masked residuals replace the
+    `continue` at :1847;
+  * the divergence guard compares initial vs final *total* error and
+    reverts (the reference intended this but its `e_init =+`/`e_end =+`
+    typos at :1859-1861 made the guard compare single residuals; we
+    implement the intended semantics — documented delta, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Camera, project
+from ..geometry.se3 import exp_se3
+
+
+class RefineResult(NamedTuple):
+    pose: jnp.ndarray  # (..., 4, 4)
+    covariance: jnp.ndarray  # (..., 6, 6)
+    num_iterations: jnp.ndarray  # (...,) int32 — first converged iteration
+    final_error: jnp.ndarray  # (...,) sum of squared residuals
+    initial_error: jnp.ndarray  # (...,)
+    converged: jnp.ndarray  # (...,) bool
+
+
+def _residuals_and_normal_eqs(camera, pose, markers_h, det_xy, corr, corr_mask):
+    """Masked residuals + normal equations for one pose.
+
+    corr: (C, 2) int32 (marker_idx, det_idx); corr_mask: (C,) bool.
+    """
+    c = corr.shape[0]
+    m_idx = jnp.clip(corr[:, 0], 0, markers_h.shape[0] - 1)
+    d_idx = jnp.clip(corr[:, 1], 0, det_xy.shape[0] - 1)
+    pts = markers_h[m_idx]  # (C, 4)
+    uv_pred = project(camera, pose, pts)  # (C, 2)
+    e = det_xy[d_idx] - uv_pred  # (C, 2)
+    e = jnp.where(corr_mask[:, None], e, 0.0)
+
+    # Eade A.14 Jacobian, twist = [translation, rotation].
+    pc = jnp.einsum("ij,cj->ci", pose[:3, :], pts)  # (C, 3) camera-frame
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    z2 = z * z
+    fx, fy = camera.fx, camera.fy
+    j_u = jnp.stack(
+        [fx / z, jnp.zeros_like(z), -fx * x / z2, -fx * x * y / z2, fx * (1 + x * x / z2), -fx * y / z],
+        axis=-1,
+    )
+    j_v = jnp.stack(
+        [jnp.zeros_like(z), fy / z, -fy * y / z2, -fy * (1 + y * y / z2), fy * x * y / z2, fy * x / z],
+        axis=-1,
+    )
+    jac = jnp.stack([j_u, j_v], axis=-2)  # (C, 2, 6)
+    jac = jnp.where(corr_mask[:, None, None], jac, 0.0)
+
+    a_mat = jnp.einsum("cri,crj->ij", jac, jac)  # (6, 6), R = I
+    b_vec = jnp.einsum("cri,cr->i", jac, e)  # (6,)
+    err = jnp.sum(e * e)
+    return a_mat, b_vec, err
+
+
+def gauss_newton_refine(
+    camera: Camera,
+    pose0: jnp.ndarray,
+    markers_h: jnp.ndarray,
+    det_xy: jnp.ndarray,
+    corr: jnp.ndarray,
+    corr_mask: jnp.ndarray,
+    max_iterations: int = 50,
+    convergence_tol: float = 1e-10,
+) -> RefineResult:
+    """Refine a single pose; vmap for banks of candidates.
+
+    The reference's 500-iteration / 1e-13 budget (pose_estimator.cpp:
+    1809-1810) is double-precision CPU tuning; in float32 the update
+    saturates near 1e-6, so the defaults here are a 50-iteration budget
+    with 1e-10 tolerance — the convergence mask makes extra iterations
+    free of accuracy consequences (they just burn cycles, so keep the
+    budget modest).
+    """
+    dtype = pose0.dtype
+    damping = jnp.asarray(1e-8, dtype)
+
+    def body(carry, _):
+        pose, done, n_iter, _ = carry
+        a_mat, b_vec, err = _residuals_and_normal_eqs(
+            camera, pose, markers_h, det_xy, corr, corr_mask
+        )
+        a_reg = a_mat + damping * jnp.eye(6, dtype=dtype)
+        dt = jnp.linalg.solve(a_reg, b_vec)
+        dt = jnp.where(jnp.isfinite(dt), dt, 0.0)
+        new_pose = exp_se3(dt) @ pose
+        step = jnp.max(jnp.abs(dt))
+        now_done = done | (step <= convergence_tol)
+        pose = jnp.where(done, pose, new_pose)
+        n_iter = n_iter + (~done).astype(jnp.int32)
+        return (pose, now_done, n_iter, err), err
+
+    _, _, err0 = _residuals_and_normal_eqs(camera, pose0, markers_h, det_xy, corr, corr_mask)
+    init = (pose0, jnp.asarray(False), jnp.zeros((), jnp.int32), err0)
+    (pose, done, n_iter, _), _ = jax.lax.scan(body, init, None, length=max_iterations)
+
+    a_mat, _, err_final = _residuals_and_normal_eqs(
+        camera, pose, markers_h, det_xy, corr, corr_mask
+    )
+    # Divergence guard (intended semantics of :1886-1895): revert if worse.
+    diverged = err_final > err0
+    pose = jnp.where(diverged, pose0, pose)
+    err_out = jnp.where(diverged, err0, err_final)
+    cov = jnp.linalg.inv(a_mat + damping * jnp.eye(6, dtype=dtype))
+    return RefineResult(
+        pose=pose,
+        covariance=cov,
+        num_iterations=n_iter,
+        final_error=err_out,
+        initial_error=err0,
+        converged=done,
+    )

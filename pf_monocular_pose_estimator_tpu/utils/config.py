@@ -1,0 +1,108 @@
+"""Tracker configuration.
+
+Covers all three config tiers of the reference (SURVEY.md §5):
+  1. the 23 dynamic_reconfigure params (pf_mpe/cfg/
+     PFMonocularPoseEstimator.cfg:12-40) with their defaults;
+  2. the static launch params (noise bounds, numUAV handled by the
+     multi-target wrapper);
+  3. the hard-coded constants promoted to config, as SURVEY.md §5
+     mandates: PF retry cap and exit gates (pose_estimator.cpp:616,633),
+     noise inflation 0.025 (:563-565), uncertainty cap 200 (:639), GN
+     budget (:1809-1810), jump threshold 0.3 (:693-695),
+     min_num_leds_detected 4 (pose_estimator.h:104).
+
+The config is a frozen, hashable dataclass so it can ride into `jit` as a
+static argument — changing a value recompiles, exactly like the
+reference's dynamic_reconfigure push re-tuning the engine.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+from ..ops.blob import BlobParams
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackerConfig:
+    # --- detection (cfg:12-17, 22) ---
+    threshold_value: float = 240.0
+    gaussian_sigma: float = 0.6
+    min_blob_area: float = 20.0
+    max_blob_area: float = 160.0
+    max_width_height_distortion: float = 0.7
+    max_circular_distortion: float = 0.7
+    roi_border_thickness: float = 10.0
+    active_markers: bool = True
+    max_detections: int = 16  # fixed detection-bank capacity (TPU)
+    cc_sweeps: int = 12
+
+    # --- tolerances / thresholds (cfg:18-21, 32) ---
+    back_projection_pixel_tolerance: float = 5.0
+    back_projection_pixel_tolerance_pf: float = 10.0
+    nearest_neighbour_pixel_tolerance: float = 7.0
+    certainty_threshold: float = 1.0
+    valid_correspondence_threshold: float = 0.5
+
+    # --- fault injection (cfg:23-24) ---
+    number_of_occlusions: int = 0
+    number_of_false_detections: int = 0
+
+    # --- particle filter (cfg:25-31, 33-37) ---
+    use_particle_filter: bool = True
+    n_particles: int = 1000
+    min_translation_noise: float = -0.025
+    max_translation_noise: float = 0.025
+    min_angular_noise: float = -0.02
+    max_angular_noise: float = 0.02
+    marker_downgrade: Tuple[bool, ...] = (False, False, False, False, False)
+    use_cam_pos: bool = False
+
+    # --- promoted constants (reference hard-codes, SURVEY.md §5) ---
+    pf_max_retries: int = 80  # pose_estimator.cpp:616
+    pf_exit_gate_factor: int = 5  # weight > M*min(5, numLED) (:616)
+    pf_accept_gate_factor: int = 3  # weight > M*min(3, numLED) (:633)
+    # The reference writes `+2/3*numLED` at :637 with *integer* division,
+    # so the marginal branch never fires there; 0.0 reproduces that
+    # behaviour, 2/3 enables the intended short-P3P recovery path.
+    marginal_margin_factor: float = 2.0 / 3.0
+    noise_inflation_per_10_iters: float = 0.025  # :563-565
+    uncertainty_cap: int = 200  # :639
+    jump_threshold: float = 0.3  # :693-695
+    min_num_leds_detected: int = 4  # pose_estimator.h:104
+    gn_max_iterations: int = 50
+    gn_convergence_tol: float = 1e-10
+    # Adaptive blob-area schedule (:435-439)
+    abs_min_blob_area: float = 5.0
+    abs_max_blob_area: float = 20.0
+    blob_area_distance_slope: float = 10.0
+    # ROI growth (:139-143, 425-432, 454-457)
+    roi_uncertainty_growth: float = 7.0
+    roi_distance_gain: float = 20.0
+    roi_retry_growth: float = 20.0
+
+    # --- TPU capacities (new; fixed-shape equivalents of dynamic sizes) ---
+    max_candidates_per_led: int = 4  # histogram cartesian-product cap
+    max_correspondence_candidates: int = 8  # ranked candidate sets tried
+    max_p3p_seeds: int = 32  # P3P poses harvested into the bank
+    roi_particle_subsample: int = 128  # particles used for ROI prediction
+
+    # Init gating heuristics (:1557-1581); reference values disable the
+    # pair-distance gate (1000 px) and require a 5-cluster.
+    init_pair_distance_gate: float = 1000.0
+    init_cluster_radius: float = 1000.0
+    init_cluster_min: int = 5
+
+    def blob_params(self, adaptive: bool = False) -> BlobParams:
+        return BlobParams(
+            threshold=self.threshold_value,
+            gaussian_sigma=self.gaussian_sigma,
+            min_blob_area=self.min_blob_area,
+            max_blob_area=self.max_blob_area,
+            max_width_height_distortion=self.max_width_height_distortion,
+            max_circular_distortion=self.max_circular_distortion,
+            active_markers=self.active_markers,
+            max_detections=self.max_detections,
+            cc_sweeps=self.cc_sweeps,
+        )
