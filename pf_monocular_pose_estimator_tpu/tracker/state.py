@@ -1,0 +1,88 @@
+"""Tracker state as an explicit pytree.
+
+Replaces the reference's mutable per-object `_Vec` members and hidden
+function-static variables (pose_estimator.h:65-118; SURVEY.md §5 notes the
+static-variable cross-instance hazard this design removes): every frame is
+`state -> (state', result)`, deterministic given the PRNG key, trivially
+checkpointable, and vmappable over targets.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class TargetState(NamedTuple):
+    """Per-target tracker state (one reference `objectNumber`)."""
+
+    key: jax.Array  # PRNG state (replaces rand()/random_device)
+    current_pose: jnp.ndarray  # (4,4) object->camera, last optimised
+    previous_pose: jnp.ndarray  # (4,4)
+    predicted_pose: jnp.ndarray  # (4,4)
+    covariance: jnp.ndarray  # (6,6)
+    bank: jnp.ndarray  # (N,4,4) PoseParticle
+    resampled: jnp.ndarray  # (N,4,4) newPoseEstimation
+    weights: jnp.ndarray  # (N,) normalised particle weights
+    it_since_initialized: jnp.ndarray  # int32, capped at 2
+    uncertainty: jnp.ndarray  # int32 consecutive-failure counter
+    roi: jnp.ndarray  # (4,) [x0,y0,w,h]
+    time_current: jnp.ndarray  # f32
+    time_previous: jnp.ndarray  # f32
+    fail_flag: jnp.ndarray  # int32 (FailFlag, x10 codes)
+    pose_updated: jnp.ndarray  # bool
+    num_gn_iterations: jnp.ndarray  # int32 (PubData.numIter)
+    # Observer-camera ego-motion compensation (bUseCamPos, :239-396)
+    obs_cam_old: jnp.ndarray  # (4,4)
+    change_cam_pose: jnp.ndarray  # (4,4)
+    time_obs_act: jnp.ndarray  # f32
+    cam_time_shift: jnp.ndarray  # f32
+
+    @classmethod
+    def create(cls, n_particles: int, key=None, image_size=(752, 480), dtype=jnp.float32):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        eye = jnp.eye(4, dtype=dtype)
+        return cls(
+            key=key,
+            current_pose=eye,
+            previous_pose=eye,
+            predicted_pose=eye,
+            covariance=jnp.eye(6, dtype=dtype),
+            bank=jnp.broadcast_to(eye, (n_particles, 4, 4)),
+            resampled=jnp.broadcast_to(eye, (n_particles, 4, 4)),
+            weights=jnp.full((n_particles,), 1.0 / n_particles, dtype),
+            it_since_initialized=jnp.zeros((), jnp.int32),
+            uncertainty=jnp.zeros((), jnp.int32),
+            roi=jnp.asarray([0, 0, image_size[0], image_size[1]], dtype),
+            time_current=jnp.zeros((), dtype),
+            time_previous=jnp.asarray(-1.0, dtype),
+            fail_flag=jnp.asarray(-10, jnp.int32),
+            pose_updated=jnp.asarray(False),
+            num_gn_iterations=jnp.zeros((), jnp.int32),
+            obs_cam_old=eye,
+            change_cam_pose=eye,
+            time_obs_act=jnp.zeros((), dtype),
+            cam_time_shift=jnp.asarray(1.0, dtype),
+        )
+
+
+class FrameResult(NamedTuple):
+    """Per-frame outputs (the reference's publisher payload:
+    pose + covariance, FailFlag, timings, detections, diagnostics —
+    monocular_pose_estimator.cpp:59-72, SURVEY.md §5)."""
+
+    pose: jnp.ndarray  # (4,4) object->camera
+    pose_inverse: jnp.ndarray  # (4,4) camera->object (the published one)
+    covariance: jnp.ndarray  # (6,6)
+    pose_updated: jnp.ndarray  # bool — pose valid this frame
+    fail_flag: jnp.ndarray  # int32
+    num_detections: jnp.ndarray  # int32
+    num_gn_iterations: jnp.ndarray  # int32
+    used_brute_force: jnp.ndarray  # bool (PubData.bPred == 0)
+    detections_xy: jnp.ndarray  # (K,2) undistorted
+    detections_mask: jnp.ndarray  # (K,)
+    roi: jnp.ndarray  # (4,)
+    best_weight: jnp.ndarray  # highest un-normalised particle weight

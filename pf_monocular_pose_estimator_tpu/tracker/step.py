@@ -1,0 +1,530 @@
+"""The per-frame tracking state machine, fully jittable.
+
+Functional parity target: PoseEstimator::estimateBodyPose — the PF branch
+(pf_mpe_lib/src/pose_estimator.cpp:69-737), i.e. the whole of SURVEY.md
+§3.2/§3.3 as one compiled program:
+
+  init needed?  ──yes──► grow ROI by uncertainty ─► detect ─► brute-force
+      │                   initialise ─► GN refine ─► update     (stack 3.3)
+      no
+      ▼
+  predict (const-velocity ∘ observer ego-motion) ─► ROI from predicted
+  particle pixels ─► detect (adaptive blob areas, retry with grown ROI)
+  ─► fault injection ─► PF retry loop (propagate → weight, keep best)
+  ─► gates ─► [marginal: short-P3P / forced re-init ladder]
+  ─► stratified resample ─► GN refine most-resampled ─► update  (stack 3.2)
+
+The reference's data-dependent control flow (init vs track, retry-until-
+good-weight, recovery ladder) maps to `lax.cond` / `lax.while_loop` with
+fixed-shape carries — no host round-trip per frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Camera, project
+from ..geometry.se3 import exp_se3, inverse, log_se3, predict_constant_velocity
+from ..ops.blob import Detections, determine_roi, find_leds, grow_roi
+from ..ops.faults import inject_faults
+from ..pf.propagate import NoiseBounds, propagate, propagation_noise_factors
+from ..pf.refine import gauss_newton_refine
+from ..pf.resample import stratified_resample
+from ..pf.weight import weight_particles
+from ..utils.config import TrackerConfig
+from ..utils.flags import FailFlag
+from .initialise import initialise
+from .short_p3p import short_p3p
+from .state import FrameResult, TargetState
+
+# Hard-coded observer-camera mounting rotation (pose_estimator.cpp:260-263).
+_ROT_CAM = jnp.asarray(
+    [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+)
+
+
+def _adaptive_blob_areas(config: TrackerConfig, pred_dist: jnp.ndarray):
+    """Distance-adaptive blob-area bounds (pose_estimator.cpp:435-439)."""
+    slope = config.blob_area_distance_slope
+    min_a = jnp.maximum(
+        config.abs_min_blob_area,
+        jnp.minimum(config.min_blob_area, config.min_blob_area - slope * (pred_dist - 1.0)),
+    )
+    max_a = jnp.maximum(
+        config.abs_max_blob_area,
+        jnp.minimum(config.max_blob_area, config.max_blob_area - slope * (pred_dist - 1.0)),
+    )
+    return min_a, max_a
+
+
+def _corr_from_det_for_marker(det_for_marker: jnp.ndarray, marker_mask: jnp.ndarray):
+    m = det_for_marker.shape[0]
+    corr = jnp.stack([jnp.arange(m, dtype=jnp.int32), det_for_marker], axis=-1)
+    mask = (det_for_marker >= 0) & marker_mask
+    return corr, mask
+
+
+def _update_pose_times(state: TargetState, t: jnp.ndarray, new_current: jnp.ndarray):
+    """updatePose (pose_estimator.cpp:2011-2021): shift pose history and
+    advance the clock only if >1 ms passed (multi-UAV guard)."""
+    advance = ((t - state.time_current) > 0.001) | (t < state.time_current)
+    return state._replace(
+        previous_pose=state.current_pose,
+        current_pose=new_current,
+        time_previous=jnp.where(advance, state.time_current, state.time_previous),
+        time_current=jnp.where(advance, t, state.time_current),
+    )
+
+
+def _ego_motion(state: TargetState, t, obs_pose, obs_time, config: TrackerConfig):
+    """Observer-camera ego-motion extrapolation (pose_estimator.cpp:244-396).
+
+    Returns (cam_move_inv, updated state fields)."""
+    if not config.use_cam_pos:
+        eye = jnp.eye(4, dtype=state.current_pose.dtype)
+        return eye, state
+
+    obs_cam = jnp.where(
+        jnp.abs(jnp.linalg.det(obs_pose)) < 1e-9, jnp.eye(4, obs_pose.dtype), obs_pose
+    ) @ _ROT_CAM.astype(obs_pose.dtype)
+
+    new_avail = obs_time > state.time_obs_act
+    change = jnp.where(new_avail, inverse(state.obs_cam_old) @ obs_cam, state.change_cam_pose)
+    obs_cam_old = jnp.where(new_avail, obs_cam, state.obs_cam_old)
+    shift = jnp.where(new_avail, obs_time - state.time_obs_act, state.cam_time_shift)
+    time_obs_act = jnp.where(new_avail, obs_time, state.time_obs_act)
+
+    ratio = (t - state.time_current) / jnp.maximum(shift, 1e-6)
+    delta = log_se3(change)
+    cam_move = exp_se3(delta * ratio)
+    # t <= obs_time -> no extrapolation (:292-293)
+    cam_move = jnp.where(t <= obs_time, jnp.eye(4, dtype=cam_move.dtype), cam_move)
+    state = state._replace(
+        obs_cam_old=obs_cam_old,
+        change_cam_pose=change,
+        time_obs_act=time_obs_act,
+        cam_time_shift=shift,
+    )
+    return inverse(cam_move), state
+
+
+def _resample_and_refine(
+    state: TargetState,
+    key,
+    camera,
+    markers_h,
+    marker_mask,
+    det: Detections,
+    bank,
+    weights_norm,
+    pairs,
+    config: TrackerConfig,
+    t,
+):
+    """Resampling + GN refinement of the most-resampled particle
+    (pose_estimator.cpp:668-703) + optimiseAndUpdatePose."""
+    anc, counts, most = stratified_resample(key, weights_norm)
+    resampled = bank[anc]
+    pre_gn = bank[most]
+    corr = pairs[most]  # (M,2) (marker, det), -1 padded
+    corr_mask = corr[:, 0] >= 0
+    res = gauss_newton_refine(
+        camera,
+        pre_gn,
+        markers_h,
+        det.xy,
+        corr,
+        corr_mask,
+        config.gn_max_iterations,
+        config.gn_convergence_tol,
+    )
+    # jump detection (:692-701)
+    jump = jnp.max(jnp.abs(res.pose[:3, :3] - pre_gn[:3, :3])) >= config.jump_threshold
+
+    state = state._replace(
+        predicted_pose=res.pose,
+        covariance=res.covariance,
+        it_since_initialized=jnp.minimum(state.it_since_initialized + 1, 2),
+        pose_updated=jnp.asarray(True),
+        num_gn_iterations=res.num_iterations,
+        resampled=resampled,
+        weights=weights_norm,
+        bank=bank,
+    )
+    state = _update_pose_times(state, t, res.pose)
+    return state, jump
+
+
+def tracker_step(
+    state: TargetState,
+    image: jnp.ndarray,
+    t: jnp.ndarray,
+    camera: Camera,
+    markers_h: jnp.ndarray,
+    marker_mask: jnp.ndarray,
+    config: TrackerConfig,
+    obs_pose: jnp.ndarray | None = None,
+    obs_time: jnp.ndarray | None = None,
+):
+    """Advance one target by one frame.  Returns (state', FrameResult)."""
+    dtype = state.current_pose.dtype
+    t = jnp.asarray(t, dtype)
+    if obs_pose is None:
+        obs_pose = jnp.eye(4, dtype=dtype)
+    if obs_time is None:
+        obs_time = jnp.zeros((), dtype)
+
+    n_markers = jnp.sum(marker_mask.astype(jnp.int32))
+    params = config.blob_params()
+    noise = NoiseBounds(
+        config.min_translation_noise,
+        config.max_translation_noise,
+        config.min_angular_noise,
+        config.max_angular_noise,
+    )
+    downgrade = jnp.asarray(
+        list(config.marker_downgrade) + [False] * (markers_h.shape[0] - len(config.marker_downgrade)),
+        bool,
+    )[: markers_h.shape[0]]
+
+    # ------------------------------------------------------------- INIT
+    def init_branch(state: TargetState):
+        key, k_faults = jax.random.split(state.key)
+        state = state._replace(key=key)
+
+        growth = config.roi_uncertainty_growth * (
+            1.0 + jnp.floor(state.uncertainty.astype(dtype) / 3.0)
+        )
+        roi = grow_roi(state.roi, growth, growth, camera)
+
+        det = find_leds(image, roi, params, camera)
+        # second pass with PF-adaptive areas if too few (:154-159)
+        pred_dist = jnp.linalg.norm(state.current_pose[:3, 3])
+        min_a, max_a = _adaptive_blob_areas(config, pred_dist)
+
+        def second_pass(_):
+            return find_leds(image, roi, params, camera, min_a, max_a)
+
+        need_second = (det.count < n_markers) & (state.it_since_initialized >= 0) & (
+            jnp.linalg.norm(state.current_pose[:3, 3]) > 1e-6
+        )
+        det = jax.lax.cond(need_second, second_pass, lambda _: det, None)
+        det = inject_faults(
+            k_faults, det, config.number_of_occlusions, config.number_of_false_detections
+        )
+
+        enough = det.count >= n_markers
+
+        def do_init(_):
+            return initialise(camera, det, markers_h, marker_mask, state.bank, config)
+
+        def no_init(_):
+            from .initialise import InitResult
+
+            return InitResult(
+                success=jnp.asarray(False),
+                pose=jnp.eye(4, dtype=dtype),
+                det_for_marker=jnp.full((markers_h.shape[0],), -1, jnp.int32),
+                bank=state.bank,
+                flag=jnp.asarray(int(FailFlag.TOO_FEW_LEDS_INIT), jnp.int32),
+            )
+
+        init_res = jax.lax.cond(enough, do_init, no_init, None)
+
+        def on_success(state: TargetState):
+            corr, corr_mask = _corr_from_det_for_marker(init_res.det_for_marker, marker_mask)
+            res = gauss_newton_refine(
+                camera,
+                init_res.pose,
+                markers_h,
+                det.xy,
+                corr,
+                corr_mask,
+                config.gn_max_iterations,
+                config.gn_convergence_tol,
+            )
+            state = state._replace(
+                # the init "hack" (:180): current := un-optimised init pose
+                current_pose=init_res.pose,
+                predicted_pose=res.pose,
+                covariance=res.covariance,
+                bank=init_res.bank,
+                resampled=init_res.bank,
+                it_since_initialized=jnp.asarray(1, jnp.int32),
+                pose_updated=jnp.asarray(True),
+                num_gn_iterations=res.num_iterations,
+                fail_flag=jnp.asarray(int(FailFlag.INIT_SUCCESS), jnp.int32),
+            )
+            return _update_pose_times(state, t, res.pose)
+
+        def on_failure(state: TargetState):
+            bump = jnp.where(enough, 1, 2)  # (:201 vs :209)
+            return state._replace(
+                uncertainty=state.uncertainty + bump,
+                pose_updated=jnp.asarray(False),
+                fail_flag=init_res.flag,
+            )
+
+        state = state._replace(roi=roi)
+        state = jax.lax.cond(init_res.success, on_success, on_failure, state)
+        return state, det, jnp.asarray(0.0, dtype), jnp.asarray(True)
+
+    # ------------------------------------------------------------ TRACK
+    def track_branch(state: TargetState):
+        key, k_faults, k_resample = jax.random.split(state.key, 3)
+        state = state._replace(key=key)
+
+        dt_past = state.time_current - state.time_previous
+        prediction = predict_constant_velocity(
+            state.previous_pose, state.current_pose, dt_past, t - state.time_current
+        )
+        predicted = state.current_pose @ prediction
+        cam_move_inv, state = _ego_motion(state, t, obs_pose, obs_time, config)
+        predicted = cam_move_inv @ predicted
+
+        # --- ROI from predicted particle pixels (:396-432) ---
+        s_cap = min(config.roi_particle_subsample, state.resampled.shape[0])
+        sub = cam_move_inv @ state.resampled[:s_cap] @ prediction
+        pix_particles = project(camera, sub, markers_h).reshape(-1, 2)
+        pix_pred = project(camera, predicted, markers_h)
+        pix = jnp.concatenate([pix_particles, pix_pred], axis=0)
+        pix_mask = jnp.concatenate(
+            [
+                jnp.broadcast_to(marker_mask[None, :], (s_cap, marker_mask.shape[0])).reshape(-1),
+                marker_mask,
+            ]
+        )
+        roi = determine_roi(pix, pix_mask, camera, config.roi_border_thickness)
+        dist_val = jnp.clip(config.roi_distance_gain / jnp.maximum(state.current_pose[2, 3], 0.1), 0.0, 100.0)
+        roi = grow_roi(roi, dist_val, dist_val, camera)
+
+        pred_dist = jnp.linalg.norm(predicted[:3, 3])
+        min_a, max_a = _adaptive_blob_areas(config, pred_dist)
+        det = find_leds(image, roi, params, camera, min_a, max_a)
+
+        # not enough LEDs -> grow ROI and retry once (:452-463)
+        def retry(_):
+            roi2 = grow_roi(roi, config.roi_retry_growth, config.roi_retry_growth, camera)
+            return find_leds(image, roi2, params, camera, min_a, max_a), roi2
+
+        det, roi = jax.lax.cond(
+            det.count < config.min_num_leds_detected, retry, lambda _: (det, roi), None
+        )
+        det = inject_faults(
+            k_faults, det, config.number_of_occlusions, config.number_of_false_detections
+        )
+        num_led = det.count
+
+        # --- PF retry loop (:535-616) ---
+        tracking = state.it_since_initialized > 1
+        fresh = state.it_since_initialized == 1
+        fac_t, fac_r = propagation_noise_factors(
+            fresh, prediction, jnp.maximum(t - state.time_current, 1e-6)
+        )
+        m_f = n_markers.astype(dtype)
+        exit_gate = m_f * jnp.minimum(config.pf_exit_gate_factor, num_led).astype(dtype)
+        accept_gate = m_f * jnp.minimum(config.pf_accept_gate_factor, num_led).astype(dtype)
+
+        n = state.bank.shape[0]
+        m_cap = markers_h.shape[0]
+
+        def pf_body(carry):
+            it, key, best_w, best_bank, best_pairs, best_ncorr, highest = carry
+            key, k = jax.random.split(key)
+            inflation = (1.0 + config.noise_inflation_per_10_iters * jnp.floor(it / 10.0)).astype(
+                dtype
+            )
+            apply_pred = tracking & ((it % 10) != 0)
+            bank = propagate(
+                k,
+                state.resampled,
+                state.current_pose,
+                predicted,
+                prediction,
+                cam_move_inv,
+                noise,
+                fac_t,
+                fac_r,
+                tracking,
+                apply_pred,
+                inflation,
+            )
+            w, pairs, ncorr = weight_particles(
+                camera,
+                bank,
+                markers_h,
+                marker_mask,
+                det.xy,
+                det.mask,
+                config.back_projection_pixel_tolerance_pf,
+                config.back_projection_pixel_tolerance,
+                downgrade,
+                m_f,
+            )
+            new_high = jnp.max(w)
+            better = new_high > highest
+            best_w = jnp.where(better, w, best_w)
+            best_bank = jnp.where(better, bank, best_bank)
+            best_pairs = jnp.where(better, pairs, best_pairs)
+            best_ncorr = jnp.where(better, ncorr, best_ncorr)
+            highest = jnp.maximum(highest, new_high)
+            return it + 1, key, best_w, best_bank, best_pairs, best_ncorr, highest
+
+        def pf_cond(carry):
+            it, _, _, _, _, _, highest = carry
+            return (it < config.pf_max_retries) & (highest < exit_gate)
+
+        key, k_loop = jax.random.split(state.key)
+        state = state._replace(key=key)
+        init_carry = (
+            jnp.zeros((), jnp.int32),
+            k_loop,
+            jnp.zeros((n,), dtype),
+            state.bank,
+            jnp.full((n, m_cap, 2), -1, jnp.int32),
+            jnp.zeros((n,), jnp.int32),
+            jnp.asarray(-jnp.inf, dtype),
+        )
+        _, _, best_w, bank, pairs, ncorr, highest = jax.lax.while_loop(
+            pf_cond, pf_body, pf_body(init_carry)
+        )
+
+        w_sum = jnp.sum(best_w)
+        weights_norm = jnp.where(w_sum > 0, best_w / jnp.maximum(w_sum, 1e-12), best_w)
+        best_idx = jnp.argmax(best_w)
+
+        accepted = (w_sum > 0) & (highest > accept_gate)
+        marginal = highest < accept_gate + config.marginal_margin_factor * num_led.astype(dtype)
+
+        # --- recovery ladder (:633-719) ---
+        def on_accept(state: TargetState):
+            def marginal_path(state: TargetState):
+                def under_cap(state: TargetState):
+                    state = state._replace(uncertainty=state.uncertainty + 1)
+
+                    def do_short(state: TargetState):
+                        # extract the best particle's 3 pairs
+                        p = pairs[best_idx]  # (M,2) (marker, det)
+                        valid = p[:, 0] >= 0
+                        order = jnp.argsort(~valid)
+                        three = p[order][:3]
+                        res = short_p3p(
+                            camera, det, markers_h, marker_mask, three, bank, config
+                        )
+                        state = state._replace(
+                            bank=jnp.where(res.success, res.bank, state.bank),
+                            fail_flag=jnp.where(
+                                res.success,
+                                jnp.asarray(int(FailFlag.SHORT_P3P_SUCCESS), jnp.int32),
+                                state.fail_flag,
+                            ),
+                            it_since_initialized=jnp.where(
+                                res.success, state.it_since_initialized, 0
+                            ),
+                        )
+                        return state
+
+                    has3 = ncorr[best_idx] == 3
+                    return jax.lax.cond(has3, do_short, lambda s: s, state)
+
+                def over_cap(state: TargetState):
+                    return state._replace(
+                        it_since_initialized=jnp.asarray(0, jnp.int32),
+                        uncertainty=jnp.asarray(1, jnp.int32),
+                        fail_flag=jnp.asarray(int(FailFlag.UNCERTAINTY_REINIT), jnp.int32),
+                    )
+
+                return jax.lax.cond(
+                    state.uncertainty < config.uncertainty_cap, under_cap, over_cap, state
+                )
+
+            state = state._replace(
+                fail_flag=jnp.asarray(int(FailFlag.PF_SUCCESS), jnp.int32),
+                pose_updated=jnp.asarray(False),
+            )
+            state = jax.lax.cond(
+                marginal, marginal_path, lambda s: s._replace(uncertainty=jnp.asarray(1, jnp.int32)), state
+            )
+
+            def refine_path(state: TargetState):
+                # state.bank may contain short-P3P seeds; the reference
+                # resamples the refilled bank under the pre-refill weights
+                # (:668-681 after :645).
+                state, jump = _resample_and_refine(
+                    state,
+                    k_resample,
+                    camera,
+                    markers_h,
+                    marker_mask,
+                    det,
+                    state.bank,
+                    weights_norm,
+                    pairs,
+                    config,
+                    t,
+                )
+                state = state._replace(
+                    fail_flag=jnp.where(
+                        jump, jnp.asarray(int(FailFlag.PF_JUMP), jnp.int32), state.fail_flag
+                    )
+                )
+                return state
+
+            return jax.lax.cond(
+                state.it_since_initialized > 0, refine_path, lambda s: s, state
+            )
+
+        def on_reject(state: TargetState):
+            return state._replace(
+                uncertainty=state.uncertainty + 1,
+                it_since_initialized=jnp.asarray(0, jnp.int32),
+                fail_flag=jnp.asarray(int(FailFlag.PF_NO_REASONABLE_PARTICLE), jnp.int32),
+                predicted_pose=bank[best_idx],
+                pose_updated=jnp.asarray(False),
+                weights=weights_norm,
+                bank=bank,
+            )
+
+        state = state._replace(bank=bank, roi=roi)
+        state = jax.lax.cond(accepted, on_accept, on_reject, state)
+        return state, det, highest, jnp.asarray(False)
+
+    needs_init = state.it_since_initialized < 1
+    state = state._replace(
+        fail_flag=jnp.asarray(-10, jnp.int32), pose_updated=jnp.asarray(False)
+    )
+    state, det, best_weight, used_bf = jax.lax.cond(needs_init, init_branch, track_branch, state)
+
+    result = FrameResult(
+        pose=state.current_pose,
+        pose_inverse=inverse(state.current_pose),
+        covariance=state.covariance,
+        pose_updated=state.pose_updated,
+        fail_flag=state.fail_flag,
+        num_detections=det.count,
+        num_gn_iterations=state.num_gn_iterations,
+        used_brute_force=used_bf,
+        detections_xy=det.xy,
+        detections_mask=det.mask,
+        roi=state.roi,
+        best_weight=best_weight,
+    )
+    return state, result
+
+
+def make_tracker(camera: Camera, markers_h, marker_mask, config: TrackerConfig):
+    """Build a jitted `step(state, image, t) -> (state', FrameResult)`."""
+    markers_h = jnp.asarray(markers_h)
+    marker_mask = jnp.asarray(marker_mask, bool)
+
+    @jax.jit
+    def step(state, image, t, obs_pose=None, obs_time=None):
+        return tracker_step(
+            state, image, t, camera, markers_h, marker_mask, config, obs_pose, obs_time
+        )
+
+    return step

@@ -65,8 +65,9 @@ class TrackerConfig:
     pf_accept_gate_factor: int = 3  # weight > M*min(3, numLED) (:633)
     # The reference writes `+2/3*numLED` at :637 with *integer* division,
     # so the marginal branch never fires there; 0.0 reproduces that
-    # behaviour, 2/3 enables the intended short-P3P recovery path.
-    marginal_margin_factor: float = 2.0 / 3.0
+    # behaviour (default — enabling it causes spurious short-P3P re-inits
+    # on marginal frames), 2/3 enables the intended recovery path.
+    marginal_margin_factor: float = 0.0
     noise_inflation_per_10_iters: float = 0.025  # :563-565
     uncertainty_cap: int = 200  # :639
     jump_threshold: float = 0.3  # :693-695
@@ -84,7 +85,10 @@ class TrackerConfig:
 
     # --- TPU capacities (new; fixed-shape equivalents of dynamic sizes) ---
     max_candidates_per_led: int = 4  # histogram cartesian-product cap
-    max_correspondence_candidates: int = 8  # ranked candidate sets tried
+    # The reference walks the full ranked candidate list (:1733); with
+    # outliers the true assignment can rank ~10-30th, so the fixed-shape
+    # budget must be generous (each check is only a C(M,3)-sized batch).
+    max_correspondence_candidates: int = 32
     max_p3p_seeds: int = 32  # P3P poses harvested into the bank
     roi_particle_subsample: int = 128  # particles used for ROI prediction
 
