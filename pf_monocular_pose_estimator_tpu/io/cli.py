@@ -1,0 +1,145 @@
+"""run_tracker CLI — the launch-file replacement.
+
+Functional parity target: the reference's 14 launch files + MPENode entry
+points (pf_mpe/launch/*, pf_mpe/src/node.cpp): one command that loads a
+camera calibration + marker YAML (or synthesises a sequence), runs the
+tracker over the frames, and reports per-frame status, timings and — when
+ground truth exists — ATE / orientation error.
+
+Usage:
+  python -m pf_monocular_pose_estimator_tpu.io.cli --synthetic \
+      --frames 60 --particles 1000 [--device cpu] [--save-video out.npz]
+  python -m pf_monocular_pose_estimator_tpu.io.cli \
+      --camera cam.yaml --markers markers.yaml --sequence frames.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TPU-native LED-marker pose tracker")
+    p.add_argument("--synthetic", action="store_true", help="run on a synthetic orbit sequence")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--fps", type=float, default=50.0)
+    p.add_argument("--particles", type=int, default=1000)
+    p.add_argument("--camera", type=str, help="camera calibration YAML")
+    p.add_argument("--markers", type=str, help="marker positions YAML (reference schema)")
+    p.add_argument("--markers-per-object", type=int, nargs="*", help="numberOfMarkersUAVk split")
+    p.add_argument("--sequence", type=str, help="npz with frames (T,H,W) and times (T,)")
+    p.add_argument("--device", type=str, default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--occlusions", type=int, default=0)
+    p.add_argument("--false-detections", type=int, default=0)
+    p.add_argument("--pf-retries", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-video", type=str, help="write annotated frames to .npz")
+    p.add_argument("--checkpoint", type=str, help="save final tracker state here")
+    p.add_argument("--json", action="store_true", help="machine-readable summary only")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..io.markers import load_camera_calibration, load_marker_positions
+    from ..io.metrics import absolute_trajectory_error, orientation_error_deg
+    from ..io.synthetic import default_camera, demo_markers, make_orbit_sequence
+    from ..tracker import TargetState, make_tracker
+    from ..utils import TrackerConfig
+    from ..utils.checkpoint import save_state
+
+    if args.camera:
+        camera = load_camera_calibration(args.camera)
+    else:
+        camera = default_camera()
+
+    if args.markers:
+        marker_sets = load_marker_positions(args.markers, args.markers_per_object)
+        markers = jnp.asarray(marker_sets[0])
+    else:
+        markers = demo_markers()
+
+    gt_poses = None
+    if args.sequence:
+        data = np.load(args.sequence)
+        frames = jnp.asarray(data["frames"], jnp.float32)
+        times = jnp.asarray(
+            data["times"] if "times" in data else np.arange(frames.shape[0]) / args.fps,
+            jnp.float32,
+        )
+        if "poses" in data:
+            gt_poses = np.asarray(data["poses"])
+    elif args.synthetic:
+        seq = make_orbit_sequence(
+            camera, markers, num_frames=args.frames, fps=args.fps, seed=args.seed
+        )
+        frames, times, gt_poses = seq.frames, seq.times, np.asarray(seq.poses)
+    else:
+        print("error: provide --synthetic or --sequence", file=sys.stderr)
+        return 2
+
+    config = TrackerConfig(
+        n_particles=args.particles,
+        min_blob_area=8.0,
+        pf_max_retries=args.pf_retries,
+        number_of_occlusions=args.occlusions,
+        number_of_false_detections=args.false_detections,
+    )
+    step = make_tracker(camera, markers, jnp.ones((markers.shape[0],), bool), config)
+    state = TargetState.create(config.n_particles, jax.random.PRNGKey(args.seed))
+
+    est, upd, flags, annotated = [], [], [], []
+    t_start = time.perf_counter()
+    for i in range(frames.shape[0]):
+        state, res = step(state, frames[i], times[i])
+        est.append(np.asarray(res.pose))
+        upd.append(bool(res.pose_updated))
+        flags.append(int(res.fail_flag))
+        if args.save_video:
+            from ..io.viz import render_overlay
+
+            annotated.append(
+                render_overlay(frames[i], camera, res, np.asarray(state.bank), np.asarray(state.weights))
+            )
+        if not args.json:
+            tag = "TRACK" if upd[-1] else "----"
+            print(f"frame {i:4d}  t={float(times[i]):7.3f}s  [{tag}] flag={flags[-1]}")
+    wall = time.perf_counter() - t_start
+
+    est = np.stack(est)
+    upd_arr = np.asarray(upd)
+    summary = {
+        "frames": int(frames.shape[0]),
+        "tracked_frames": int(upd_arr.sum()),
+        "wall_s": round(wall, 3),
+        "fps": round(frames.shape[0] / wall, 2),
+        "flags": flags,
+    }
+    if gt_poses is not None:
+        summary["ate_m"] = absolute_trajectory_error(est, gt_poses, upd_arr)
+        summary["orientation_err_deg"] = orientation_error_deg(est, gt_poses, upd_arr)
+
+    if args.save_video:
+        np.savez_compressed(args.save_video, frames=np.stack(annotated))
+        summary["video"] = args.save_video
+    if args.checkpoint:
+        save_state(args.checkpoint, state)
+        summary["checkpoint"] = args.checkpoint
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

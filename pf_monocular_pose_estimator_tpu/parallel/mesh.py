@@ -1,0 +1,154 @@
+"""Mesh sharding of the particle bank and multi-target tracks.
+
+The reference is a single-threaded estimator (SURVEY.md §2: no DP/TP/PP,
+no comm backend); the scale axes here come from BASELINE.json's north
+star: shard the particle bank over a `particles` mesh axis and the
+per-target banks over a `targets` axis, with weight normalisation / ESS /
+resampling handled by XLA-inserted collectives (psum / all_gather) over
+ICI, and the camera frame replicated to all devices.
+
+Design notes:
+  * The whole tracker step is one jit; `NamedSharding` annotations on the
+    bank-shaped leaves are enough for GSPMD to partition propagation,
+    projection and weighting (embarrassingly parallel over particles) and
+    to insert the gather/psum pair for the resampling CDF — the only
+    cross-particle communication in the loop, exactly as SURVEY.md §5's
+    "long-context" note predicts.
+  * Multi-host: the same code runs under `jax.distributed.initialize`;
+    the mesh then spans hosts and the frame broadcast rides DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry.camera import Camera
+from ..tracker.state import TargetState
+from ..tracker.step import tracker_step
+from ..utils.config import TrackerConfig
+
+
+def make_mesh(
+    particle_devices: Optional[int] = None,
+    target_devices: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('targets', 'particles') mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    if particle_devices is None:
+        particle_devices = len(devices) // target_devices
+    n = target_devices * particle_devices
+    import numpy as np
+
+    grid = np.array(devices[:n]).reshape(target_devices, particle_devices)
+    return Mesh(grid, ("targets", "particles"))
+
+
+def _state_shardings(mesh: Mesh, batched: bool = False):
+    """PartitionSpec pytree for a TargetState: bank-shaped leaves are
+    sharded over 'particles' (and 'targets' when batched); small leaves
+    replicated."""
+    lead = ("targets",) if batched else ()
+    bank_spec = P(*lead, "particles")
+    small = P(*lead) if batched else P()
+    return TargetState(
+        key=small,
+        current_pose=small,
+        previous_pose=small,
+        predicted_pose=small,
+        covariance=small,
+        bank=bank_spec,
+        resampled=bank_spec,
+        weights=bank_spec,
+        it_since_initialized=small,
+        uncertainty=small,
+        roi=small,
+        time_current=small,
+        time_previous=small,
+        fail_flag=small,
+        pose_updated=small,
+        num_gn_iterations=small,
+        obs_cam_old=small,
+        change_cam_pose=small,
+        time_obs_act=small,
+        cam_time_shift=small,
+    )
+
+
+def shard_target_state(state: TargetState, mesh: Mesh, batched: bool = False) -> TargetState:
+    """Place a TargetState onto the mesh with the canonical shardings."""
+    specs = _state_shardings(mesh, batched)
+    return jax.tree_util.tree_map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)), state, specs
+    )
+
+
+def make_sharded_tracker(
+    camera: Camera,
+    markers_h,
+    marker_mask,
+    config: TrackerConfig,
+    mesh: Mesh,
+):
+    """Jitted single-target step with the bank sharded over 'particles'.
+
+    Returns `step(state, image, t) -> (state', FrameResult)`; state must
+    be placed with `shard_target_state` first (or anywhere — GSPMD will
+    reshard to the declared in_shardings).
+    """
+    markers_h = jnp.asarray(markers_h)
+    marker_mask = jnp.asarray(marker_mask, bool)
+    specs = _state_shardings(mesh)
+    state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+    repl = NamedSharding(mesh, P())
+
+    def _step(state, image, t):
+        return tracker_step(state, image, t, camera, markers_h, marker_mask, config)
+
+    return jax.jit(
+        _step,
+        in_shardings=(state_shardings, repl, repl),
+        out_shardings=(state_shardings, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sharded_multi_tracker(
+    camera: Camera,
+    markers_h,  # (T, M, 4)
+    marker_masks,  # (T, M)
+    config: TrackerConfig,
+    mesh: Mesh,
+):
+    """Multi-target step: targets vmapped and sharded over 'targets',
+    each target's bank sharded over 'particles'.
+
+    Multi-target parity target: the reference's per-object `_Vec` loop
+    (pose_estimator.cpp:89-736, SURVEY.md §2 #20) — here the targets are
+    a batch axis over the mesh instead of a serial host loop.
+    """
+    markers_h = jnp.asarray(markers_h)
+    marker_masks = jnp.asarray(marker_masks, bool)
+    specs = _state_shardings(mesh, batched=True)
+    state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+    repl = NamedSharding(mesh, P())
+
+    def _one(state, image, t, markers, mask):
+        return tracker_step(state, image, t, camera, markers, mask, config)
+
+    def _step(states, image, t):
+        return jax.vmap(_one, in_axes=(0, None, None, 0, 0))(
+            states, image, t, markers_h, marker_masks
+        )
+
+    return jax.jit(
+        _step,
+        in_shardings=(state_shardings, repl, repl),
+        out_shardings=(state_shardings, None),
+        donate_argnums=(0,),
+    )

@@ -44,15 +44,22 @@ class TargetState(NamedTuple):
     def create(cls, n_particles: int, key=None, image_size=(752, 480), dtype=jnp.float32):
         if key is None:
             key = jax.random.PRNGKey(0)
-        eye = jnp.eye(4, dtype=dtype)
+
+        # Each leaf gets its own buffer (`eye + 0` forces materialisation):
+        # aliased leaves break argument donation in the sharded step.
+        def eye():
+            return jnp.eye(4, dtype=dtype) + 0.0
+
         return cls(
             key=key,
-            current_pose=eye,
-            previous_pose=eye,
-            predicted_pose=eye,
+            current_pose=eye(),
+            previous_pose=eye(),
+            predicted_pose=eye(),
             covariance=jnp.eye(6, dtype=dtype),
-            bank=jnp.broadcast_to(eye, (n_particles, 4, 4)),
-            resampled=jnp.broadcast_to(eye, (n_particles, 4, 4)),
+            # distinct materialised buffers (not aliased broadcasts) so the
+            # sharded step can donate the whole state
+            bank=jnp.tile(eye(), (n_particles, 1, 1)),
+            resampled=jnp.tile(eye(), (n_particles, 1, 1)),
             weights=jnp.full((n_particles,), 1.0 / n_particles, dtype),
             it_since_initialized=jnp.zeros((), jnp.int32),
             uncertainty=jnp.zeros((), jnp.int32),
@@ -62,8 +69,8 @@ class TargetState(NamedTuple):
             fail_flag=jnp.asarray(-10, jnp.int32),
             pose_updated=jnp.asarray(False),
             num_gn_iterations=jnp.zeros((), jnp.int32),
-            obs_cam_old=eye,
-            change_cam_pose=eye,
+            obs_cam_old=eye(),
+            change_cam_pose=eye(),
             time_obs_act=jnp.zeros((), dtype),
             cam_time_shift=jnp.asarray(1.0, dtype),
         )
