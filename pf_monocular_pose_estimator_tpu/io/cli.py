@@ -108,9 +108,10 @@ def main(argv=None):
         flags.append(int(res.fail_flag))
         if args.save_video:
             from ..io.viz import render_overlay
+            from ..pf.soa import unpack
 
             annotated.append(
-                render_overlay(frames[i], camera, res, np.asarray(state.bank), np.asarray(state.weights))
+                render_overlay(frames[i], camera, res, np.asarray(unpack(state.bank)), np.asarray(state.weights))
             )
         if not args.json:
             tag = "TRACK" if upd[-1] else "----"

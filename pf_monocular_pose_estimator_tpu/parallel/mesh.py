@@ -54,7 +54,8 @@ def _state_shardings(mesh: Mesh, batched: bool = False):
     sharded over 'particles' (and 'targets' when batched); small leaves
     replicated."""
     lead = ("targets",) if batched else ()
-    bank_spec = P(*lead, "particles")
+    bank_spec = P(*lead, None, "particles")  # (16, N) SoA: shard lanes
+    weights_spec = P(*lead, "particles")
     small = P(*lead) if batched else P()
     return TargetState(
         key=small,
@@ -64,7 +65,7 @@ def _state_shardings(mesh: Mesh, batched: bool = False):
         covariance=small,
         bank=bank_spec,
         resampled=bank_spec,
-        weights=bank_spec,
+        weights=weights_spec,
         it_since_initialized=small,
         uncertainty=small,
         roi=small,

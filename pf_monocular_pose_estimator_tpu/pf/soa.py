@@ -40,6 +40,11 @@ def pack_single(pose: jnp.ndarray) -> jnp.ndarray:
     return pose.reshape(16)
 
 
+def identity_bank16(n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(16, N) bank of identity poses."""
+    return jnp.tile(jnp.eye(4, dtype=dtype).reshape(16, 1), (1, n))
+
+
 def compose_const_left(a: jnp.ndarray, b16: jnp.ndarray) -> jnp.ndarray:
     """A @ B for constant A (4,4) and bank B (16,N)."""
     rows = []
@@ -244,23 +249,45 @@ def gather_soa(bank16: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
 def counts_from_sorted_ancestors(ancestors: jnp.ndarray, n: int) -> jnp.ndarray:
     """Resample counts without a scatter: stratified ancestors are sorted,
     so counts are differences of searchsorted positions (replaces the
-    bincount scatter, which costs ~4 ms at N=100k on TPU)."""
+    bincount scatter)."""
     idx = jnp.arange(n)
-    right = jnp.searchsorted(ancestors, idx, side="right")
-    left = jnp.searchsorted(ancestors, idx, side="left")
+    right = jnp.searchsorted(ancestors, idx, side="right", method="sort")
+    left = jnp.searchsorted(ancestors, idx, side="left", method="sort")
     return (right - left).astype(jnp.int32)
 
 
+def _stratified_counts(cdf: jnp.ndarray, eps: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Closed-form per-particle resample counts for stratified draws.
+
+    With u_i = (i + eps_i) / n, the number of draws <= x is
+    k + (eps_k <= x*n - k) where k = floor(x*n): one N-element gather and
+    elementwise math instead of a searchsorted (whose default 'scan'
+    lowering costs ~11 ms at N=100k on TPU — it dominated the whole
+    tracker step before this).
+    counts[j] = count_leq(cdf[j]) - count_leq(cdf[j-1]).
+    """
+    xn = cdf * n
+    k = jnp.clip(jnp.floor(xn).astype(jnp.int32), 0, n - 1)
+    frac = xn - k.astype(cdf.dtype)
+    cnt = jnp.clip(k + (eps[k] <= frac).astype(jnp.int32), 0, n)
+    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cnt[:-1]])
+    return (cnt - prev).astype(jnp.int32)
+
+
 def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
-    """Stratified resampling tuned for TPU: cumsum + searchsorted, counts
-    via sorted-ancestor searchsorted (no scatter).  Same draw semantics as
+    """Stratified resampling tuned for TPU: cumsum + one sort-based
+    searchsorted for the ancestors, closed-form counts (no scatter, no
+    scan-lowered binary searches).  Same draw semantics as
     pf.resample.stratified_resample."""
     n = weights.shape[0]
     total = jnp.sum(weights)
     safe = jnp.where(total > 0, total, 1.0)
     w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
     cdf = jnp.cumsum(w)
-    u = (jnp.arange(n, dtype=weights.dtype) + jax.random.uniform(key, (n,), weights.dtype)) / n
-    ancestors = jnp.clip(jnp.searchsorted(cdf, u, side="left"), 0, n - 1).astype(jnp.int32)
-    counts = counts_from_sorted_ancestors(ancestors, n)
+    eps = jax.random.uniform(key, (n,), weights.dtype)
+    u = (jnp.arange(n, dtype=weights.dtype) + eps) / n
+    ancestors = jnp.clip(
+        jnp.searchsorted(cdf, u, side="left", method="sort"), 0, n - 1
+    ).astype(jnp.int32)
+    counts = _stratified_counts(cdf, eps, n)
     return ancestors, counts, jnp.argmax(counts).astype(jnp.int32)

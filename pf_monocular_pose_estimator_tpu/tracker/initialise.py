@@ -27,23 +27,24 @@ class InitResult(NamedTuple):
     success: jnp.ndarray  # bool
     pose: jnp.ndarray  # (4,4) first validated candidate's pose
     det_for_marker: jnp.ndarray  # (M,) its correspondence vector
-    bank: jnp.ndarray  # (N,4,4) particle bank with harvested seeds
+    bank: jnp.ndarray  # (16,N) SoA particle bank with harvested seeds
     flag: jnp.ndarray  # int32 FailFlag
 
 
-def _fill_bank_with_seeds(bank, seeds, seed_mask):
+def _fill_bank_with_seeds(bank16, seeds, seed_mask):
     """Fill bank slots [1..N-1] by cycling valid seeds (slot 0 keeps the
-    current pose), reproducing :1756-1760; unchanged if no seeds."""
-    n = bank.shape[0]
-    s = seeds.shape[0]
+    current pose), reproducing :1756-1760; unchanged if no seeds.
+
+    bank16: (16, N) SoA bank; seeds: (S, 4, 4); seed_mask: (S,)."""
+    n = bank16.shape[1]
     # compact valid seeds to the front
     order = jnp.argsort(~seed_mask)  # valid first, stable
-    seeds_c = seeds[order]
+    seeds16 = seeds[order].reshape(-1, 16).T  # (16, S)
     n_seeds = jnp.sum(seed_mask.astype(jnp.int32))
     idx = jnp.arange(n)
-    pick = seeds_c[jnp.where(n_seeds > 0, (n - 1 - idx) % jnp.maximum(n_seeds, 1), 0)]
+    pick = seeds16[:, jnp.where(n_seeds > 0, (n - 1 - idx) % jnp.maximum(n_seeds, 1), 0)]
     use = (idx > 0) & (n_seeds > 0)
-    return jnp.where(use[:, None, None], pick, bank)
+    return jnp.where(use[None, :], pick, bank16)
 
 
 def initialise(

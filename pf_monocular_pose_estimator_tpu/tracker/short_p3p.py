@@ -29,7 +29,7 @@ class ShortP3PResult(NamedTuple):
     success: jnp.ndarray
     pose: jnp.ndarray  # (4,4)
     det_for_marker: jnp.ndarray  # (M,)
-    bank: jnp.ndarray  # (N,4,4)
+    bank: jnp.ndarray  # (16,N) SoA
     flag: jnp.ndarray
 
 

@@ -23,8 +23,13 @@ class TargetState(NamedTuple):
     previous_pose: jnp.ndarray  # (4,4)
     predicted_pose: jnp.ndarray  # (4,4)
     covariance: jnp.ndarray  # (6,6)
-    bank: jnp.ndarray  # (N,4,4) PoseParticle
-    resampled: jnp.ndarray  # (N,4,4) newPoseEstimation
+    # Particle banks live in SoA (16, N) layout — 16 row-major pose
+    # entries, particles in the TPU lane dimension (see pf/soa.py).  An
+    # AoS (N, 4, 4) array tiles its 4x4 minor dims onto (sublane, lane)
+    # vector tiles at ~3% utilisation, inflating every copy/select of the
+    # bank ~32x; keeping state natively SoA removes those relayouts.
+    bank: jnp.ndarray  # (16, N) PoseParticle
+    resampled: jnp.ndarray  # (16, N) newPoseEstimation
     weights: jnp.ndarray  # (N,) normalised particle weights
     it_since_initialized: jnp.ndarray  # int32, capped at 2
     uncertainty: jnp.ndarray  # int32 consecutive-failure counter
@@ -58,8 +63,8 @@ class TargetState(NamedTuple):
             covariance=jnp.eye(6, dtype=dtype),
             # distinct materialised buffers (not aliased broadcasts) so the
             # sharded step can donate the whole state
-            bank=jnp.tile(eye(), (n_particles, 1, 1)),
-            resampled=jnp.tile(eye(), (n_particles, 1, 1)),
+            bank=jnp.tile(eye().reshape(16, 1), (1, n_particles)),
+            resampled=jnp.tile(eye().reshape(16, 1), (1, n_particles)),
             weights=jnp.full((n_particles,), 1.0 / n_particles, dtype),
             it_since_initialized=jnp.zeros((), jnp.int32),
             uncertainty=jnp.zeros((), jnp.int32),

@@ -136,8 +136,12 @@ def _resample_and_refine(
 
     bank16: (16, N) SoA bank (may contain short-P3P seeds);
     pairs_soa: (M, 2, N) per-particle correspondence pairs."""
-    anc, counts, most = stratified_resample_soa(key, weights_norm)
-    resampled16 = gather_soa(bank16, anc)
+    if "resample" in config.debug_skip:
+        most = jnp.argmax(weights_norm)
+        resampled16 = bank16
+    else:
+        anc, counts, most = stratified_resample_soa(key, weights_norm)
+        resampled16 = gather_soa(bank16, anc)
     pre_gn = bank16[:, most].reshape(4, 4)
     corr = pairs_soa[:, :, most]  # (M,2) (marker, det), -1 padded
     corr_mask = corr[:, 0] >= 0
@@ -160,9 +164,9 @@ def _resample_and_refine(
         it_since_initialized=jnp.minimum(state.it_since_initialized + 1, 2),
         pose_updated=jnp.asarray(True),
         num_gn_iterations=res.num_iterations,
-        resampled=unpack(resampled16),
+        resampled=resampled16,
         weights=weights_norm,
-        bank=unpack(bank16),
+        bank=bank16,
     )
     state = _update_pose_times(state, t, res.pose)
     return state, jump
@@ -296,8 +300,8 @@ def tracker_step(
         predicted = cam_move_inv @ predicted
 
         # --- ROI from predicted particle pixels (:396-432) ---
-        s_cap = min(config.roi_particle_subsample, state.resampled.shape[0])
-        sub = cam_move_inv @ state.resampled[:s_cap] @ prediction
+        s_cap = min(config.roi_particle_subsample, state.resampled.shape[1])
+        sub = cam_move_inv @ unpack(state.resampled[:, :s_cap]) @ prediction
         pix_particles = project(camera, sub, markers_h).reshape(-1, 2)
         pix_pred = project(camera, predicted, markers_h)
         pix = jnp.concatenate([pix_particles, pix_pred], axis=0)
@@ -338,9 +342,9 @@ def tracker_step(
         exit_gate = m_f * jnp.minimum(config.pf_exit_gate_factor, num_led).astype(dtype)
         accept_gate = m_f * jnp.minimum(config.pf_accept_gate_factor, num_led).astype(dtype)
 
-        n = state.bank.shape[0]
+        n = state.bank.shape[1]
         m_cap = markers_h.shape[0]
-        resampled16 = pack(state.resampled)  # SoA hot-path layout
+        resampled16 = state.resampled  # state banks are natively SoA
 
         def pf_body(carry):
             it, key, best_w, best_bank16, best_pairs, best_ncorr, highest = carry
@@ -349,32 +353,42 @@ def tracker_step(
                 dtype
             )
             apply_pred = tracking & ((it % 10) != 0)
-            bank16 = propagate_soa(
-                k,
-                resampled16,
-                state.current_pose,
-                predicted,
-                prediction,
-                cam_move_inv,
-                noise,
-                fac_t,
-                fac_r,
-                tracking,
-                apply_pred,
-                inflation,
-            )
-            w, pairs_soa, ncorr = weight_particles_soa(
-                camera,
-                bank16,
-                markers_h,
-                marker_mask,
-                det.xy,
-                det.mask,
-                config.back_projection_pixel_tolerance_pf,
-                config.back_projection_pixel_tolerance,
-                downgrade,
-                m_f,
-            )
+            if "propagate" in config.debug_skip:
+                bank16 = resampled16 * (1.0 + 1e-12 * inflation)
+            else:
+                bank16 = propagate_soa(
+                    k,
+                    resampled16,
+                    state.current_pose,
+                    predicted,
+                    prediction,
+                    cam_move_inv,
+                    noise,
+                    fac_t,
+                    fac_r,
+                    tracking,
+                    apply_pred,
+                    inflation,
+                )
+            if "weight" in config.debug_skip:
+                w = jnp.abs(bank16[0]) + 30.0
+                pairs_soa = jnp.tile(
+                    jnp.stack([jnp.arange(m_cap, dtype=jnp.int32)] * 2, 1)[:, :, None], (1, 1, n)
+                )
+                ncorr = jnp.full((n,), m_cap, jnp.int32)
+            else:
+                w, pairs_soa, ncorr = weight_particles_soa(
+                    camera,
+                    bank16,
+                    markers_h,
+                    marker_mask,
+                    det.xy,
+                    det.mask,
+                    config.back_projection_pixel_tolerance_pf,
+                    config.back_projection_pixel_tolerance,
+                    downgrade,
+                    m_f,
+                )
             new_high = jnp.max(w)
             better = new_high > highest
             best_w = jnp.where(better, w, best_w)
@@ -402,7 +416,6 @@ def tracker_step(
         _, _, best_w, bank16, pairs_soa, ncorr, highest = jax.lax.while_loop(
             pf_cond, pf_body, pf_body(init_carry)
         )
-        bank_aos = unpack(bank16)
 
         w_sum = jnp.sum(best_w)
         weights_norm = jnp.where(w_sum > 0, best_w / jnp.maximum(w_sum, 1e-12), best_w)
@@ -424,7 +437,7 @@ def tracker_step(
                         order = jnp.argsort(~valid)
                         three = p[order][:3]
                         res = short_p3p(
-                            camera, det, markers_h, marker_mask, three, bank_aos, config
+                            camera, det, markers_h, marker_mask, three, bank16, config
                         )
                         state = state._replace(
                             bank=jnp.where(res.success, res.bank, state.bank),
@@ -472,7 +485,7 @@ def tracker_step(
                     markers_h,
                     marker_mask,
                     det,
-                    pack(state.bank),
+                    state.bank,
                     weights_norm,
                     pairs_soa,
                     config,
@@ -499,7 +512,7 @@ def tracker_step(
                 weights=weights_norm,
             )
 
-        state = state._replace(bank=bank_aos, roi=roi)
+        state = state._replace(bank=bank16, roi=roi)
         state = jax.lax.cond(accepted, on_accept, on_reject, state)
         return state, det, highest, jnp.asarray(False)
 

@@ -98,6 +98,10 @@ class TrackerConfig:
     init_cluster_radius: float = 1000.0
     init_cluster_min: int = 5
 
+    # Development-only stage skips for performance bisection; never set in
+    # production configs.  Recognised: "propagate", "weight", "resample".
+    debug_skip: Tuple[str, ...] = ()
+
     def blob_params(self, adaptive: bool = False) -> BlobParams:
         return BlobParams(
             threshold=self.threshold_value,

@@ -129,20 +129,24 @@ def test_check_correspondences_accepts_truth_rejects_garbage(camera, markers, co
 def test_initialise_from_perfect_detections(camera, markers, config):
     pose = gt_pose()
     det = perfect_detections(camera, pose, markers, permute=np.array([4, 2, 0, 1, 3]))
-    bank = jnp.broadcast_to(jnp.eye(4), (config.n_particles, 4, 4))
+    from pf_monocular_pose_estimator_tpu.pf.soa import identity_bank16, unpack
+
+    bank = identity_bank16(config.n_particles)
     res = initialise(camera, det, markers, jnp.ones(5, bool), bank, config)
     assert bool(res.success), f"flag={int(res.flag)}"
     np.testing.assert_allclose(np.asarray(res.pose), np.asarray(pose), atol=5e-2)
     # bank tail seeded with P3P solutions near the truth
-    seeded = np.asarray(res.bank[-5:])
+    seeded = np.asarray(unpack(res.bank)[-5:])
     err = np.abs(seeded - np.asarray(pose)).max(axis=(-1, -2))
     assert err.min() < 0.2
 
 
 def test_initialise_with_outliers(camera, markers, config):
     pose = gt_pose()
+    from pf_monocular_pose_estimator_tpu.pf.soa import identity_bank16
+
     det = perfect_detections(camera, pose, markers, extra=2)
-    bank = jnp.broadcast_to(jnp.eye(4), (config.n_particles, 4, 4))
+    bank = identity_bank16(config.n_particles)
     res = initialise(camera, det, markers, jnp.ones(5, bool), bank, config)
     assert bool(res.success), f"flag={int(res.flag)}"
     np.testing.assert_allclose(np.asarray(res.pose), np.asarray(pose), atol=6e-2)
@@ -154,10 +158,12 @@ def test_initialise_outliers_with_cluster_gate(camera, markers, config):
     histogram (pose_estimator.cpp:1567-1581)."""
     import dataclasses
 
+    from pf_monocular_pose_estimator_tpu.pf.soa import identity_bank16
+
     cfg = dataclasses.replace(config, init_cluster_radius=150.0)
     pose = gt_pose()
     det = perfect_detections(camera, pose, markers, extra=3)
-    bank = jnp.broadcast_to(jnp.eye(4), (cfg.n_particles, 4, 4))
+    bank = identity_bank16(cfg.n_particles)
     res = initialise(camera, det, markers, jnp.ones(5, bool), bank, cfg)
     assert bool(res.success), f"flag={int(res.flag)}"
     np.testing.assert_allclose(np.asarray(res.pose), np.asarray(pose), atol=6e-2)
@@ -166,8 +172,10 @@ def test_initialise_outliers_with_cluster_gate(camera, markers, config):
 def test_initialise_fails_cleanly_with_too_few(camera, markers, config):
     pose = gt_pose()
     det = perfect_detections(camera, pose, markers)
+    from pf_monocular_pose_estimator_tpu.pf.soa import identity_bank16
+
     det = det._replace(mask=det.mask.at[3:].set(False))
-    bank = jnp.broadcast_to(jnp.eye(4), (config.n_particles, 4, 4))
+    bank = identity_bank16(config.n_particles)
     res = initialise(camera, det, markers, jnp.ones(5, bool), bank, config)
     assert not bool(res.success)
     assert int(res.flag) == int(FailFlag.TOO_FEW_MARKERS_DETECTED)
