@@ -55,6 +55,10 @@ class BlobParams(NamedTuple):
     max_detections: int = 16
     cc_sweeps: int = 12
     intensity_weighted_centroids: bool = False
+    # Fused Pallas threshold+blur on TPU backends (2.6x faster than the
+    # XLA conv path and true-f32 where XLA's TPU conv uses bf16
+    # multiplies); the conv path remains for CPU and as parity oracle.
+    use_pallas: bool = True
 
 
 class Detections(NamedTuple):
@@ -166,17 +170,25 @@ def find_leds(
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     roi = roi.astype(jnp.float32)
-    in_roi = (xs >= roi[0]) & (xs < roi[0] + roi[2]) & (ys >= roi[1]) & (ys < roi[1] + roi[3])
 
-    if params.active_markers:
-        # THRESH_TOZERO (led_detector.cpp:58)
-        tz = jnp.where(img > params.threshold, img, 0.0)
+    if params.use_pallas and jax.default_backend() != "cpu":
+        from .pallas_kernels import threshold_blur_pallas
+
+        blurred = threshold_blur_pallas(
+            img, roi, params.threshold, params.gaussian_sigma, params.active_markers
+        )
     else:
-        # THRESH_BINARY_INV (led_detector.cpp:60)
-        tz = jnp.where(img > params.threshold, 0.0, 255.0)
-    tz = jnp.where(in_roi, tz, 0.0)
-
-    blurred = _blur(tz, params.gaussian_sigma)
+        in_roi = (
+            (xs >= roi[0]) & (xs < roi[0] + roi[2]) & (ys >= roi[1]) & (ys < roi[1] + roi[3])
+        )
+        if params.active_markers:
+            # THRESH_TOZERO (led_detector.cpp:58)
+            tz = jnp.where(img > params.threshold, img, 0.0)
+        else:
+            # THRESH_BINARY_INV (led_detector.cpp:60)
+            tz = jnp.where(img > params.threshold, 0.0, 255.0)
+        tz = jnp.where(in_roi, tz, 0.0)
+        blurred = _blur(tz, params.gaussian_sigma)
     fg = blurred > 1e-3
 
     labels = connected_components(fg, params.cc_sweeps)

@@ -73,7 +73,7 @@ class TrackerConfig:
     jump_threshold: float = 0.3  # :693-695
     min_num_leds_detected: int = 4  # pose_estimator.h:104
     gn_max_iterations: int = 50
-    gn_convergence_tol: float = 1e-6  # f32 step-size floor (ref: 1e-13 in f64)
+    gn_convergence_tol: float = 1e-4  # ~0.1 mm/0.1 mrad step; TPU f32 floors above 1e-6 (ref: 1e-13 in f64)
     # Adaptive blob-area schedule (:435-439)
     abs_min_blob_area: float = 5.0
     abs_max_blob_area: float = 20.0
