@@ -11,6 +11,7 @@ The whole frame loop runs on-device as one `lax.scan` so host/tunnel
 dispatch latency doesn't pollute the measurement.
 """
 
+import argparse
 import json
 import time
 
@@ -18,6 +19,12 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=100_000)
+    ap.add_argument("--targets", type=int, default=1)
+    ap.add_argument("--frames", type=int, default=24)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -30,8 +37,8 @@ def main():
     from pf_monocular_pose_estimator_tpu.tracker import TargetState, tracker_step
     from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
 
-    n_particles = 100_000
-    num_frames = 24
+    n_particles = args.particles
+    num_frames = args.frames
     camera = default_camera()
     markers = demo_markers()
     marker_mask = jnp.ones((markers.shape[0],), bool)
@@ -46,18 +53,42 @@ def main():
     frames = jax.device_put(seq.frames)
     times = jax.device_put(seq.times)
 
-    @jax.jit
-    def run_sequence(state, frames, times):
-        def body(state, inputs):
-            frame, t = inputs
-            state, res = tracker_step(
-                state, frame, t, camera, markers, marker_mask, config
-            )
-            return state, (res.fail_flag, res.pose_updated, res.pose)
+    if args.targets > 1:
+        markers_t = jnp.broadcast_to(markers, (args.targets, markers.shape[0], 4))
+        masks_t = jnp.ones((args.targets, markers.shape[0]), bool)
 
-        return jax.lax.scan(body, state, (frames, times))
+        def one(packed, frame, t):
+            state, mk, mask = packed
+            return tracker_step(state, frame, t, camera, mk, mask, config)
 
-    state0 = TargetState.create(n_particles, jax.random.PRNGKey(0))
+        @jax.jit
+        def run_sequence(states, frames, times):
+            def body(states, inputs):
+                frame, t = inputs
+                new_states, res = jax.lax.map(
+                    lambda p: one(p, frame, t), (states, markers_t, masks_t)
+                )
+                return new_states, (res.fail_flag[0], res.pose_updated.all(), res.pose[0])
+
+            return jax.lax.scan(body, states, (frames, times))
+
+        state0 = jax.vmap(lambda k: TargetState.create(n_particles, k))(
+            jax.random.split(jax.random.PRNGKey(0), args.targets)
+        )
+    else:
+
+        @jax.jit
+        def run_sequence(state, frames, times):
+            def body(state, inputs):
+                frame, t = inputs
+                state, res = tracker_step(
+                    state, frame, t, camera, markers, marker_mask, config
+                )
+                return state, (res.fail_flag, res.pose_updated, res.pose)
+
+            return jax.lax.scan(body, state, (frames, times))
+
+        state0 = TargetState.create(n_particles, jax.random.PRNGKey(0))
     state0 = jax.device_put(state0)
 
     # Warm-up / compile
@@ -77,12 +108,15 @@ def main():
     fps = num_frames / best
     updated_frac = float(np.asarray(updated).mean())
     # particle-weighting throughput: >=1 PF sweep per tracked frame
-    particles_per_s = fps * n_particles
+    particles_per_s = fps * n_particles * args.targets
 
+    label = f"tracking_fps_752x480_{n_particles//1000}k_particles" + (
+        f"_{args.targets}targets" if args.targets > 1 else ""
+    )
     print(
         json.dumps(
             {
-                "metric": "tracking_fps_752x480_100k_particles",
+                "metric": label,
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 50.0, 3),

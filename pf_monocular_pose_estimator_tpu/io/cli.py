@@ -39,6 +39,12 @@ def build_parser():
     p.add_argument("--save-video", type=str, help="write annotated frames to .npz")
     p.add_argument("--checkpoint", type=str, help="save final tracker state here")
     p.add_argument("--json", action="store_true", help="machine-readable summary only")
+    p.add_argument(
+        "--exposure-control",
+        action="store_true",
+        help="run the online exposure state machine (reports exposure_us)",
+    )
+    p.add_argument("--expose-time-base", type=float, default=2000.0)
     return p
 
 
@@ -99,6 +105,12 @@ def main(argv=None):
     step = make_tracker(camera, markers, jnp.ones((markers.shape[0],), bool), config)
     state = TargetState.create(config.n_particles, jax.random.PRNGKey(args.seed))
 
+    exposure = None
+    if args.exposure_control:
+        from ..ops.exposure import ExposureState, exposure_control
+
+        exposure = ExposureState.create(args.expose_time_base)
+
     est, upd, flags, annotated = [], [], [], []
     t_start = time.perf_counter()
     for i in range(frames.shape[0]):
@@ -106,6 +118,17 @@ def main(argv=None):
         est.append(np.asarray(res.pose))
         upd.append(bool(res.pose_updated))
         flags.append(int(res.fail_flag))
+        if exposure is not None:
+            from ..ops.exposure import exposure_control
+
+            roi = np.asarray(res.roi)
+            exposure = exposure_control(
+                exposure,
+                res.blob_area_sum,
+                jnp.asarray(float(roi[2] * roi[3])),
+                args.expose_time_base,
+                res.num_detections > 0,
+            )
         if args.save_video:
             from ..io.viz import render_overlay
             from ..pf.soa import unpack
@@ -131,6 +154,8 @@ def main(argv=None):
         summary["ate_m"] = absolute_trajectory_error(est, gt_poses, upd_arr)
         summary["orientation_err_deg"] = orientation_error_deg(est, gt_poses, upd_arr)
 
+    if exposure is not None:
+        summary["exposure_us"] = float(exposure.exposure_us)
     if args.save_video:
         np.savez_compressed(args.save_video, frames=np.stack(annotated))
         summary["video"] = args.save_video

@@ -42,19 +42,40 @@ def make_multi_tracker(
     markers_h: jnp.ndarray,  # (T, M, 4)
     marker_masks: jnp.ndarray,  # (T, M)
     config: TrackerConfig,
+    sequential: bool = True,
 ):
-    """Jitted `step(states, image, t) -> (states', results)` over targets."""
+    """Jitted `step(states, image, t) -> (states', results)` over targets.
+
+    sequential=True (default) iterates targets with `lax.map`, matching
+    the reference's per-object loop: `lax.cond` branches stay real
+    conditionals, so a tracking target never pays for the brute-force
+    init branch.  sequential=False uses `vmap` — all targets advance in
+    one batched program (conds become selects: every target executes
+    both branches every frame), which is what the mesh-sharded path in
+    parallel/mesh.py wants, where each device owns its target anyway.
+    """
     markers_h = jnp.asarray(markers_h)
     marker_masks = jnp.asarray(marker_masks, bool)
 
     def _one(state, image, t, markers, mask):
         return tracker_step(state, image, t, camera, markers, mask, config)
 
-    @jax.jit
-    def step(states, image, t):
-        return jax.vmap(_one, in_axes=(0, None, None, 0, 0))(
-            states, image, t, markers_h, marker_masks
-        )
+    if sequential:
+
+        @jax.jit
+        def step(states, image, t):
+            return jax.lax.map(
+                lambda args: _one(args[0], image, t, args[1], args[2]),
+                (states, markers_h, marker_masks),
+            )
+
+    else:
+
+        @jax.jit
+        def step(states, image, t):
+            return jax.vmap(_one, in_axes=(0, None, None, 0, 0))(
+                states, image, t, markers_h, marker_masks
+            )
 
     return step
 

@@ -98,3 +98,4 @@ class FrameResult(NamedTuple):
     detections_mask: jnp.ndarray  # (K,)
     roi: jnp.ndarray  # (4,)
     best_weight: jnp.ndarray  # highest un-normalised particle weight
+    blob_area_sum: jnp.ndarray  # total detected blob area (exposure ctrl)

@@ -660,6 +660,7 @@ def tracker_step(
         detections_mask=det.mask,
         roi=state.roi,
         best_weight=best_weight,
+        blob_area_sum=jnp.sum(det.area),
     )
     return state, result
 
