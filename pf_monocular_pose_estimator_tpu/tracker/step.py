@@ -95,7 +95,7 @@ def _ego_motion(state: TargetState, t, obs_pose, obs_time, config: TrackerConfig
         return eye, state
 
     obs_cam = jnp.where(
-        jnp.abs(jnp.linalg.det(obs_pose)) < 1e-9, jnp.eye(4, obs_pose.dtype), obs_pose
+        jnp.abs(jnp.linalg.det(obs_pose)) < 1e-9, jnp.eye(4, dtype=obs_pose.dtype), obs_pose
     ) @ _ROT_CAM.astype(obs_pose.dtype)
 
     new_avail = obs_time > state.time_obs_act
