@@ -45,6 +45,14 @@ def build_parser():
         help="run the online exposure state machine (reports exposure_us)",
     )
     p.add_argument("--expose-time-base", type=float, default=2000.0)
+    p.add_argument(
+        "--num-targets",
+        type=int,
+        default=1,
+        help="track multiple objects (markers split via --markers-per-object, "
+        "or the same marker set replicated)",
+    )
+    p.add_argument("--profile", type=str, help="capture a jax.profiler trace to this dir")
     return p
 
 
@@ -102,8 +110,30 @@ def main(argv=None):
         number_of_occlusions=args.occlusions,
         number_of_false_detections=args.false_detections,
     )
-    step = make_tracker(camera, markers, jnp.ones((markers.shape[0],), bool), config)
-    state = TargetState.create(config.n_particles, jax.random.PRNGKey(args.seed))
+    multi = args.num_targets > 1
+    if multi:
+        from ..tracker.multi import create_states, make_multi_tracker, pad_marker_sets
+
+        if args.markers and args.markers_per_object:
+            marker_sets = load_marker_positions(args.markers, args.markers_per_object)
+            markers_t, masks_t = pad_marker_sets(marker_sets)
+        else:
+            markers_t = jnp.broadcast_to(
+                markers, (args.num_targets, markers.shape[0], 4)
+            )
+            masks_t = jnp.ones((args.num_targets, markers.shape[0]), bool)
+        step = make_multi_tracker(camera, markers_t, masks_t, config)
+        state = create_states(
+            args.num_targets, config.n_particles, args.seed, (camera.width, camera.height)
+        )
+    else:
+        step = make_tracker(camera, markers, jnp.ones((markers.shape[0],), bool), config)
+        state = TargetState.create(config.n_particles, jax.random.PRNGKey(args.seed))
+
+    profile_ctx = None
+    if args.profile:
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
 
     exposure = None
     if args.exposure_control:
@@ -116,20 +146,24 @@ def main(argv=None):
     for i in range(frames.shape[0]):
         state, res = step(state, frames[i], times[i])
         est.append(np.asarray(res.pose))
-        upd.append(bool(res.pose_updated))
-        flags.append(int(res.fail_flag))
+        if multi:
+            upd.append(np.asarray(res.pose_updated))
+            flags.append(np.asarray(res.fail_flag).tolist())
+        else:
+            upd.append(bool(res.pose_updated))
+            flags.append(int(res.fail_flag))
         if exposure is not None:
             from ..ops.exposure import exposure_control
 
-            roi = np.asarray(res.roi)
+            roi = np.asarray(res.roi).reshape(-1, 4)[0]
             exposure = exposure_control(
                 exposure,
-                res.blob_area_sum,
+                jnp.sum(res.blob_area_sum),
                 jnp.asarray(float(roi[2] * roi[3])),
                 args.expose_time_base,
-                res.num_detections > 0,
+                jnp.any(res.num_detections > 0),
             )
-        if args.save_video:
+        if args.save_video and not multi:
             from ..io.viz import render_overlay
             from ..pf.soa import unpack
 
@@ -137,22 +171,29 @@ def main(argv=None):
                 render_overlay(frames[i], camera, res, np.asarray(unpack(state.bank)), np.asarray(state.weights))
             )
         if not args.json:
-            tag = "TRACK" if upd[-1] else "----"
+            tag = "TRACK" if np.all(upd[-1]) else "----"
             print(f"frame {i:4d}  t={float(times[i]):7.3f}s  [{tag}] flag={flags[-1]}")
     wall = time.perf_counter() - t_start
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     est = np.stack(est)
     upd_arr = np.asarray(upd)
     summary = {
         "frames": int(frames.shape[0]),
-        "tracked_frames": int(upd_arr.sum()),
+        "tracked_frames": int(np.all(upd_arr.reshape(len(upd), -1), axis=-1).sum()),
         "wall_s": round(wall, 3),
         "fps": round(frames.shape[0] / wall, 2),
         "flags": flags,
     }
-    if gt_poses is not None:
+    if gt_poses is not None and not multi:
         summary["ate_m"] = absolute_trajectory_error(est, gt_poses, upd_arr)
         summary["orientation_err_deg"] = orientation_error_deg(est, gt_poses, upd_arr)
+    elif gt_poses is not None:
+        summary["ate_m_per_target"] = [
+            absolute_trajectory_error(est[:, k], gt_poses, upd_arr[:, k])
+            for k in range(args.num_targets)
+        ]
 
     if exposure is not None:
         summary["exposure_us"] = float(exposure.exposure_us)
