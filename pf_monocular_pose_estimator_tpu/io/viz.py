@@ -15,10 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..geometry.camera import Camera, distort_pixels
-from ..geometry.se3 import inverse  # noqa: F401  (re-exported convenience)
-
-import jax.numpy as jnp
+from ..geometry.camera import Camera
 
 
 _COLORS = {

@@ -59,6 +59,10 @@ class BlobParams(NamedTuple):
     # XLA conv path and true-f32 where XLA's TPU conv uses bf16
     # multiplies); the conv path remains for CPU and as parity oracle.
     use_pallas: bool = True
+    # When the ROI fits, detection runs on a fixed-size crop around it
+    # instead of the full frame (the reference detects only inside the
+    # ROI, led_detector.cpp:58 image(ROI)); (h, w) or None to disable.
+    roi_crop: tuple | None = (192, 256)
 
 
 class Detections(NamedTuple):
@@ -145,28 +149,19 @@ def connected_components(fg: jnp.ndarray, sweeps: int) -> jnp.ndarray:
     return jax.lax.fori_loop(0, sweeps, body, labels)
 
 
-def find_leds(
-    image: jnp.ndarray,
+def _detect_blobs(
+    img: jnp.ndarray,
     roi: jnp.ndarray,
     params: BlobParams,
-    camera: Camera,
-    min_area: jnp.ndarray | None = None,
-    max_area: jnp.ndarray | None = None,
-) -> Detections:
-    """Detect LED blobs in a frame.
+    min_area: jnp.ndarray,
+    max_area: jnp.ndarray,
+):
+    """Core blob extraction on one (H, W) float image.
 
-    image : (H, W) uint8/float grayscale (the red channel upstream,
-            cf. pf_mpe/src/monocular_pose_estimator.cpp:267-268)
-    roi   : (4,) [x0, y0, width, height] in pixels (dynamic values)
-    min_area/max_area : optional *traced* overrides of the blob-area
-            bounds, for the tracker's distance-adaptive thresholds
-            (pose_estimator.cpp:435-439) without recompilation.
+    Returns compacted (xy_distorted (K,2), mask (K,), area (K,)) in this
+    image's pixel coordinates (no undistortion yet).
     """
-    h, w = image.shape
-    img = image.astype(jnp.float32)
-    min_area = jnp.asarray(params.min_blob_area if min_area is None else min_area, jnp.float32)
-    max_area = jnp.asarray(params.max_blob_area if max_area is None else max_area, jnp.float32)
-
+    h, w = img.shape
     xs = jnp.arange(w, dtype=jnp.float32)[None, :]
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     roi = roi.astype(jnp.float32)
@@ -271,13 +266,72 @@ def find_leds(
     xy_d = jnp.stack([cx, cy], axis=-1)[perm]
     mask = valid[perm]
     area_s = jnp.where(mask, area[perm], 0.0)
+    return xy_d, mask, area_s
+
+
+def find_leds(
+    image: jnp.ndarray,
+    roi: jnp.ndarray,
+    params: BlobParams,
+    camera: Camera,
+    min_area: jnp.ndarray | None = None,
+    max_area: jnp.ndarray | None = None,
+) -> Detections:
+    """Detect LED blobs in a frame.
+
+    image : (H, W) uint8/float grayscale (the red channel upstream,
+            cf. pf_mpe/src/monocular_pose_estimator.cpp:267-268)
+    roi   : (4,) [x0, y0, width, height] in pixels (dynamic values)
+    min_area/max_area : optional *traced* overrides of the blob-area
+            bounds, for the tracker's distance-adaptive thresholds
+            (pose_estimator.cpp:435-439) without recompilation.
+
+    When `params.roi_crop` is set and the ROI fits, the whole pipeline
+    runs on a fixed-size crop around the ROI centre (~7x less pixel work
+    at 752x480 while tracking) — the equivalent of the reference's
+    `image(ROI)` view; otherwise the full frame is processed with the
+    ROI as a mask.
+    """
+    h, w = image.shape
+    img = image.astype(jnp.float32)
+    min_area = jnp.asarray(params.min_blob_area if min_area is None else min_area, jnp.float32)
+    max_area = jnp.asarray(params.max_blob_area if max_area is None else max_area, jnp.float32)
+    roi = roi.astype(jnp.float32)
+
+    crop = params.roi_crop
+    use_crop = crop is not None and crop[0] + 8 <= h and crop[1] + 8 <= w
+    if use_crop:
+        ch, cw = int(crop[0]), int(crop[1])
+        # blur halo margin so crop-edge clipping can't alter blobs
+        fits = (roi[2] <= cw - 8) & (roi[3] <= ch - 8)
+
+        def cropped(_):
+            cx0 = jnp.clip(
+                jnp.round(roi[0] + roi[2] / 2 - cw / 2), 0, w - cw
+            ).astype(jnp.int32)
+            cy0 = jnp.clip(
+                jnp.round(roi[1] + roi[3] / 2 - ch / 2), 0, h - ch
+            ).astype(jnp.int32)
+            img_c = jax.lax.dynamic_slice(img, (cy0, cx0), (ch, cw))
+            offset = jnp.stack([cx0, cy0]).astype(jnp.float32)
+            roi_local = jnp.concatenate([roi[:2] - offset, roi[2:]])
+            xy_d, mask, area = _detect_blobs(img_c, roi_local, params, min_area, max_area)
+            return xy_d + offset[None, :], mask, area
+
+        def full(_):
+            return _detect_blobs(img, roi, params, min_area, max_area)
+
+        xy_d, mask, area_s = jax.lax.cond(fits, cropped, full, None)
+    else:
+        xy_d, mask, area_s = _detect_blobs(img, roi, params, min_area, max_area)
+
     xy_u = undistort_pixels(camera, xy_d)
     zeros = jnp.zeros_like(mask)
     return Detections(
         xy=jnp.where(mask[:, None], xy_u, 0.0),
         xy_distorted=jnp.where(mask[:, None], xy_d, 0.0),
         mask=mask,
-        area=area_s,
+        area=jnp.where(mask, area_s, 0.0),
         occluded=zeros,
         injected=zeros,
     )

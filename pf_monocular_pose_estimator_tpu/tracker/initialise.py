@@ -59,10 +59,15 @@ def initialise(
     n_markers = jnp.sum(marker_mask.astype(jnp.int32))
     n_det = det.count
 
-    # PF init demands every marker detected (:1505-1512)
-    min_needed = n_markers if config.use_particle_filter else jnp.asarray(
-        config.min_num_leds_detected, jnp.int32
-    )
+    # PF init demands every marker detected (:1505-1512) unless the
+    # partial-constellation override is set (see TrackerConfig).
+    if config.use_particle_filter:
+        if config.pf_init_min_markers > 0:
+            min_needed = jnp.minimum(n_markers, config.pf_init_min_markers)
+        else:
+            min_needed = n_markers
+    else:
+        min_needed = jnp.asarray(config.min_num_leds_detected, jnp.int32)
     enough_dets = n_det >= min_needed
 
     hist = brute_force_histogram(camera, det, markers_h, marker_mask, config)

@@ -11,7 +11,7 @@ over a 'targets' mesh axis via parallel.mesh.make_sharded_multi_tracker).
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

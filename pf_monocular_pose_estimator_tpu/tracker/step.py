@@ -21,9 +21,6 @@ fixed-shape carries — no host round-trip per frame.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
@@ -35,7 +32,6 @@ from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
 from ..pf.soa import (
     gather_soa,
-    pack,
     propagate_soa,
     stratified_resample_soa,
     unpack,
@@ -192,6 +188,12 @@ def tracker_step(
         obs_time = jnp.zeros((), dtype)
 
     n_markers = jnp.sum(marker_mask.astype(jnp.int32))
+    # effective marker count required to attempt PF init (see
+    # TrackerConfig.pf_init_min_markers; 0 = reference parity)
+    if config.use_particle_filter and config.pf_init_min_markers > 0:
+        init_needed = jnp.minimum(n_markers, config.pf_init_min_markers)
+    else:
+        init_needed = n_markers
     params = config.blob_params()
     noise = NoiseBounds(
         config.min_translation_noise,
@@ -222,7 +224,7 @@ def tracker_step(
         def second_pass(_):
             return find_leds(image, roi, params, camera, min_a, max_a)
 
-        need_second = (det.count < n_markers) & (state.it_since_initialized >= 0) & (
+        need_second = (det.count < init_needed) & (state.it_since_initialized >= 0) & (
             jnp.linalg.norm(state.current_pose[:3, 3]) > 1e-6
         )
         det = jax.lax.cond(need_second, second_pass, lambda _: det, None)
@@ -230,7 +232,7 @@ def tracker_step(
             k_faults, det, config.number_of_occlusions, config.number_of_false_detections
         )
 
-        enough = det.count >= n_markers
+        enough = det.count >= init_needed
 
         def do_init(_):
             return initialise(camera, det, markers_h, marker_mask, state.bank, config)

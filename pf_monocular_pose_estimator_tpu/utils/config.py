@@ -37,6 +37,7 @@ class TrackerConfig:
     active_markers: bool = True
     max_detections: int = 16  # fixed detection-bank capacity (TPU)
     cc_sweeps: int = 12
+    roi_crop: Tuple[int, int] | None = (192, 256)  # fixed detect crop (h, w)
 
     # --- tolerances / thresholds (cfg:18-21, 32) ---
     back_projection_pixel_tolerance: float = 5.0
@@ -68,11 +69,19 @@ class TrackerConfig:
     # behaviour (default — enabling it causes spurious short-P3P re-inits
     # on marginal frames), 2/3 enables the intended recovery path.
     marginal_margin_factor: float = 0.0
+    # PF initialisation demands every marker visible (pose_estimator.cpp:
+    # 1507) — under per-frame occlusions this blocks re-init ~50% of
+    # frames.  Setting a count here (e.g. 4, the IPE minimum the
+    # reference itself uses on its other path, :1740) lets PF init from
+    # partial constellations.  0 = reference-parity (all markers).
+    pf_init_min_markers: int = 0
     noise_inflation_per_10_iters: float = 0.025  # :563-565
     uncertainty_cap: int = 200  # :639
     jump_threshold: float = 0.3  # :693-695
     min_num_leds_detected: int = 4  # pose_estimator.h:104
-    gn_max_iterations: int = 50
+    # GN reaches the f32 noise floor in ~5 iterations; on TPU the step
+    # never falls below ~1e-4 (solve jitter), so budget beats tolerance.
+    gn_max_iterations: int = 25
     gn_convergence_tol: float = 1e-4  # ~0.1 mm/0.1 mrad step; TPU f32 floors above 1e-6 (ref: 1e-13 in f64)
     # Adaptive blob-area schedule (:435-439)
     abs_min_blob_area: float = 5.0
@@ -113,4 +122,5 @@ class TrackerConfig:
             active_markers=self.active_markers,
             max_detections=self.max_detections,
             cc_sweeps=self.cc_sweeps,
+            roi_crop=self.roi_crop,
         )
