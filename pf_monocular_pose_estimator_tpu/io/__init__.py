@@ -1,6 +1,7 @@
 from .synthetic import render_frame, SyntheticSequence, make_orbit_sequence
 from .markers import load_marker_positions, load_camera_calibration
 from .metrics import absolute_trajectory_error, orientation_error_deg
+from .viz import render_overlay
 
 __all__ = [
     "render_frame",
@@ -10,4 +11,5 @@ __all__ = [
     "load_camera_calibration",
     "absolute_trajectory_error",
     "orientation_error_deg",
+    "render_overlay",
 ]
