@@ -142,9 +142,22 @@ def main(argv=None):
         exposure = ExposureState.create(args.expose_time_base)
 
     est, upd, flags, annotated = [], [], [], []
+    # Per-frame latency parity with the reference's timePoseEst /
+    # timeInitEst topics (monocular_pose_estimator.cpp:466-472):
+    # timePoseEst = whole-step wall time; timeInitEst = the same frame's
+    # time when the brute-force initialiser ran (the reference measures
+    # init duration inside the engine, pose_estimator.cpp:133,212-213).
+    time_pose_est_ms, time_init_est_ms = [], []
     t_start = time.perf_counter()
     for i in range(frames.shape[0]):
+        t0 = time.perf_counter()
         state, res = step(state, frames[i], times[i])
+        jax.block_until_ready(res.pose)
+        dt_ms = (time.perf_counter() - t0) * 1e3
+        time_pose_est_ms.append(round(dt_ms, 3))
+        time_init_est_ms.append(
+            round(dt_ms, 3) if bool(np.any(np.asarray(res.used_brute_force))) else 0.0
+        )
         est.append(np.asarray(res.pose))
         if multi:
             upd.append(np.asarray(res.pose_updated))
@@ -172,7 +185,10 @@ def main(argv=None):
             )
         if not args.json:
             tag = "TRACK" if np.all(upd[-1]) else "----"
-            print(f"frame {i:4d}  t={float(times[i]):7.3f}s  [{tag}] flag={flags[-1]}")
+            print(
+                f"frame {i:4d}  t={float(times[i]):7.3f}s  [{tag}] "
+                f"flag={flags[-1]}  t_pose={dt_ms:7.2f}ms"
+            )
     wall = time.perf_counter() - t_start
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
@@ -185,6 +201,12 @@ def main(argv=None):
         "wall_s": round(wall, 3),
         "fps": round(frames.shape[0] / wall, 2),
         "flags": flags,
+        "time_pose_est_ms": time_pose_est_ms,
+        "time_init_est_ms": time_init_est_ms,
+        # steady-state latency: median over post-warmup frames
+        "time_pose_est_ms_median": round(
+            float(np.median(time_pose_est_ms[1:] or time_pose_est_ms)), 3
+        ),
     }
     if gt_poses is not None and not multi:
         summary["ate_m"] = absolute_trajectory_error(est, gt_poses, upd_arr)

@@ -19,13 +19,16 @@ from ..geometry.camera import Camera
 
 
 _COLORS = {
+    # Detection circles use the reference's colour code
+    # (visualization.cpp:264-274): true detections green (radius 5),
+    # injected/fake yellow (radius 8), occluded red (radius 8).
     "detection": (0, 255, 0),
-    "injected": (255, 128, 0),
-    "occluded": (255, 0, 255),
+    "injected": (255, 255, 0),
+    "occluded": (255, 0, 0),
     "axis_x": (255, 0, 0),
     "axis_y": (0, 255, 0),
     "axis_z": (0, 0, 255),
-    "roi": (255, 255, 0),
+    "roi": (0, 255, 255),
     "particle": (0, 160, 255),
 }
 
@@ -74,12 +77,21 @@ def render_overlay(
     ]:
         _draw_line(img, a, b, _COLORS["roi"])
 
-    # Detections (distorted positions, as the reference draws raw centers)
+    # Detection circles, colour-coded as the reference does
+    # (visualization.cpp:260-275): true=green r5, fake=yellow r8,
+    # occluded=red r8.  Occluded detections have mask=False but their
+    # coordinates remain in detections_xy, so they stay drawable.
     xy = np.asarray(result.detections_xy)
     mask = np.asarray(result.detections_mask)
+    occluded = np.asarray(getattr(result, "detections_occluded", np.zeros_like(mask)))
+    injected = np.asarray(getattr(result, "detections_injected", np.zeros_like(mask)))
     for i in range(xy.shape[0]):
-        if mask[i]:
-            _draw_circle(img, xy[i], 4.0, _COLORS["detection"])
+        if occluded[i]:
+            _draw_circle(img, xy[i], 8.0, _COLORS["occluded"])
+        elif mask[i] and injected[i]:
+            _draw_circle(img, xy[i], 8.0, _COLORS["injected"])
+        elif mask[i]:
+            _draw_circle(img, xy[i], 5.0, _COLORS["detection"])
 
     pose_ok = bool(np.asarray(result.pose_updated))
     if pose_ok:

@@ -79,7 +79,9 @@ def inject_faults(
         ).astype(jnp.float32)
         offsets = sign * mag
 
-        free_order = jnp.argsort(mask | injected)  # free slots first
+        # free slots first; occluded slots keep their coordinates so the
+        # visualisation can still draw them (red circles, viz parity)
+        free_order = jnp.argsort(mask | injected | occluded)
         for i in range(num_false_detections):
             slot = free_order[i]
             can = ~(mask[slot] | injected[slot]) & jnp.any(detections.mask)

@@ -96,6 +96,10 @@ class FrameResult(NamedTuple):
     used_brute_force: jnp.ndarray  # bool (PubData.bPred == 0)
     detections_xy: jnp.ndarray  # (K,2) undistorted
     detections_mask: jnp.ndarray  # (K,)
+    # fault-injection provenance for colour-coded diagnostics
+    # (visualization.cpp:260-275: true=green, fake=yellow, occluded=red)
+    detections_occluded: jnp.ndarray  # (K,) coordinates stay in detections_xy
+    detections_injected: jnp.ndarray  # (K,)
     roi: jnp.ndarray  # (4,)
     best_weight: jnp.ndarray  # highest un-normalised particle weight
     blob_area_sum: jnp.ndarray  # total detected blob area (exposure ctrl)

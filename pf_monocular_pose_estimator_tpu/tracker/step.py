@@ -224,7 +224,10 @@ def tracker_step(
         def second_pass(_):
             return find_leds(image, roi, params, camera, min_a, max_a)
 
-        need_second = (det.count < init_needed) & (state.it_since_initialized >= 0) & (
+        # second pass only when a previous track left a usable pose
+        # (reference gate :154-159 tests "was previously tracking"; a
+        # nonzero translation is the functional equivalent here)
+        need_second = (det.count < init_needed) & (
             jnp.linalg.norm(state.current_pose[:3, 3]) > 1e-6
         )
         det = jax.lax.cond(need_second, second_pass, lambda _: det, None)
@@ -660,6 +663,8 @@ def tracker_step(
         used_brute_force=used_bf,
         detections_xy=det.xy,
         detections_mask=det.mask,
+        detections_occluded=det.occluded,
+        detections_injected=det.injected,
         roi=state.roi,
         best_weight=best_weight,
         blob_area_sum=jnp.sum(det.area),

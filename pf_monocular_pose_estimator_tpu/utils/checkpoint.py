@@ -22,12 +22,29 @@ def save_state(path: str, state) -> None:
 
 
 def load_state(path: str, like):
-    """Load a checkpoint into the structure of `like` (same pytree def)."""
+    """Load a checkpoint into the structure of `like`.
+
+    The stored treedef string must match `like`'s — a mismatched structure
+    (different TargetState version, multi- vs single-target) raises
+    immediately instead of silently reinterpreting leaves.
+    """
     data = np.load(path)
-    leaves = [data[f"leaf_{i}"] for i in range(len(jax.tree_util.tree_leaves(like)))]
     treedef = jax.tree_util.tree_structure(like)
+    if "treedef" in data:
+        stored = bytes(data["treedef"]).decode()
+        if stored != str(treedef):
+            raise ValueError(
+                "checkpoint treedef mismatch:\n"
+                f"  stored: {stored}\n  expected: {treedef}"
+            )
+    ref_leaves = jax.tree_util.tree_leaves(like)
+    n_stored = len([k for k in data.files if k.startswith("leaf_")])
+    if n_stored != len(ref_leaves):
+        raise ValueError(
+            f"checkpoint has {n_stored} leaves, expected {len(ref_leaves)}"
+        )
+    leaves = [data[f"leaf_{i}"] for i in range(len(ref_leaves))]
     import jax.numpy as jnp
 
-    ref_leaves = jax.tree_util.tree_leaves(like)
     cast = [jnp.asarray(l, ref.dtype) for l, ref in zip(leaves, ref_leaves)]
     return jax.tree_util.tree_unflatten(treedef, cast)
