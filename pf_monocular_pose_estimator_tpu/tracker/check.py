@@ -25,6 +25,7 @@ from ..geometry.align import umeyama_rigid
 from ..geometry.camera import Camera, bearing_vectors, project
 from ..solvers import combination_table, p3p_kneip, p3p_object_to_camera
 from ..utils.config import TrackerConfig
+from ..utils.dynamic import DynamicParams
 from ..utils.flags import FailFlag
 
 
@@ -46,16 +47,22 @@ def check_correspondences(
     det_for_marker: jnp.ndarray,
     min_needed: jnp.ndarray,
     config: TrackerConfig,
+    dyn: DynamicParams | None = None,
 ) -> CheckResult:
     """Validate one correspondence hypothesis.
 
     det_for_marker: (M,) detection index per marker, -1 where unassigned.
     min_needed: traced scalar — required pair count (all markers for PF
     init, `min_num_leds_detected` for IPE/short-P3P, :1737-1740).
+    dyn: traced runtime-tunable parameters; defaults to the config values
+    (compile-time constants).
     """
+    if dyn is None:
+        dyn = DynamicParams.from_config(config)
     m_cap = markers_h.shape[0]
     dtype = det_xy.dtype
-    tol2 = jnp.asarray(config.back_projection_pixel_tolerance**2, dtype)
+    tol = dyn.back_projection_pixel_tolerance.astype(dtype)
+    tol2 = tol * tol
 
     safe_det = jnp.clip(det_for_marker, 0, det_xy.shape[0] - 1)
     pair_ok = (det_for_marker >= 0) & marker_mask & det_mask[safe_det]  # (M,)
@@ -91,7 +98,7 @@ def check_correspondences(
         combo_ok[:, None]
         & p3p_ok[:, None]
         & finite
-        & (certainty >= config.certainty_threshold)
+        & (certainty >= dyn.certainty_threshold.astype(dtype))
     )  # (C,4)
     combo_valid = sol_valid.any(-1)  # (C,)
     best = jnp.argmin(jnp.where(sol_valid, err, jnp.asarray(jnp.inf, dtype)), axis=-1)  # (C,)
@@ -108,7 +115,10 @@ def check_correspondences(
     )
 
     n_total = jnp.maximum(jnp.sum(combo_ok.astype(jnp.int32)), 1)
-    fraction_ok = n_valid.astype(dtype) / n_total.astype(dtype) >= config.valid_correspondence_threshold
+    fraction_ok = (
+        n_valid.astype(dtype) / n_total.astype(dtype)
+        >= dyn.valid_correspondence_threshold.astype(dtype)
+    )
     success = enough & (n_valid > 0) & fraction_ok
 
     flag = jnp.where(

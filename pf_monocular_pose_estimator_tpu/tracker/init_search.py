@@ -32,6 +32,7 @@ from ..geometry.camera import Camera, bearing_vectors, project
 from ..ops.blob import Detections
 from ..solvers import combination_table, p3p_kneip, p3p_object_to_camera, permutation_table
 from ..utils.config import TrackerConfig
+from ..utils.dynamic import DynamicParams
 
 
 def brute_force_histogram(
@@ -40,8 +41,11 @@ def brute_force_histogram(
     markers_h: jnp.ndarray,
     marker_mask: jnp.ndarray,
     config: TrackerConfig,
+    dyn: DynamicParams | None = None,
 ) -> jnp.ndarray:
     """Vote histogram over (detection, marker) pairs — (K, M) int32."""
+    if dyn is None:
+        dyn = DynamicParams.from_config(config)
     k_cap = det.xy.shape[0]
     m_cap = markers_h.shape[0]
     combos = jnp.asarray(combination_table(k_cap, 3))  # (C,3)
@@ -49,18 +53,18 @@ def brute_force_histogram(
     n_c, n_p = combos.shape[0], perms.shape[0]
 
     bearings = bearing_vectors(camera, det.xy)  # (K,3)
-    tol = jnp.asarray(config.back_projection_pixel_tolerance, det.xy.dtype)
+    tol = dyn.back_projection_pixel_tolerance.astype(det.xy.dtype)
 
     # --- per-combo gates (pose_estimator.cpp:1554-1581) ---
     c_xy = det.xy[combos]  # (C,3,2)
     c_valid = det.mask[combos].all(axis=-1)  # (C,)
-    pair_gate_sq = jnp.asarray(config.init_pair_distance_gate**2)
+    pair_gate_sq = dyn.init_pair_distance_gate**2
     d01 = jnp.sum((c_xy[:, 0] - c_xy[:, 1]) ** 2, -1)
     d02 = jnp.sum((c_xy[:, 0] - c_xy[:, 2]) ** 2, -1)
     d12 = jnp.sum((c_xy[:, 1] - c_xy[:, 2]) ** 2, -1)
     c_valid &= (d01 <= pair_gate_sq) & (d02 <= pair_gate_sq) & (d12 <= pair_gate_sq)
     centre = jnp.mean(c_xy, axis=1)  # (C,2)
-    rad_sq = jnp.asarray(config.init_cluster_radius**2)
+    rad_sq = dyn.init_cluster_radius**2
     # cluster membership of every detection wrt every combo centre
     dist_centre = jnp.sum((det.xy[None, :, :] - centre[:, None, :]) ** 2, -1)  # (C,K)
     in_cluster = (dist_centre < rad_sq) & det.mask[None, :]

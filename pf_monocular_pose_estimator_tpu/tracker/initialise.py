@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..geometry.camera import Camera
 from ..ops.blob import Detections
 from ..utils.config import TrackerConfig
+from ..utils.dynamic import DynamicParams
 from ..utils.flags import FailFlag
 from .check import check_correspondences
 from .init_search import brute_force_histogram, correspondences_from_histogram
@@ -54,7 +55,10 @@ def initialise(
     marker_mask: jnp.ndarray,
     bank: jnp.ndarray,
     config: TrackerConfig,
+    dyn: DynamicParams | None = None,
 ) -> InitResult:
+    if dyn is None:
+        dyn = DynamicParams.from_config(config)
     m_cap = markers_h.shape[0]
     n_markers = jnp.sum(marker_mask.astype(jnp.int32))
     n_det = det.count
@@ -70,7 +74,7 @@ def initialise(
         min_needed = jnp.asarray(config.min_num_leds_detected, jnp.int32)
     enough_dets = n_det >= min_needed
 
-    hist = brute_force_histogram(camera, det, markers_h, marker_mask, config)
+    hist = brute_force_histogram(camera, det, markers_h, marker_mask, config, dyn)
     hist_nonzero = jnp.any(hist > 0)
 
     cands = correspondences_from_histogram(
@@ -87,6 +91,7 @@ def initialise(
             det_for_marker,
             min_needed,
             config,
+            dyn,
         )
 
     results = jax.vmap(check_one)(cands.det_for_marker)  # over R candidates

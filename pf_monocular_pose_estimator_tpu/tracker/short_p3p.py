@@ -19,6 +19,7 @@ from ..geometry.camera import Camera, bearing_vectors, project
 from ..ops.blob import Detections
 from ..solvers import p3p_kneip, p3p_object_to_camera
 from ..utils.config import TrackerConfig
+from ..utils.dynamic import DynamicParams
 from ..utils.flags import FailFlag
 from .check import check_correspondences
 from .init_search import correspondences_from_histogram
@@ -41,11 +42,14 @@ def short_p3p(
     given_pairs: jnp.ndarray,  # (3,2) int32 (marker_idx, det_idx)
     bank: jnp.ndarray,
     config: TrackerConfig,
+    dyn: DynamicParams | None = None,
 ) -> ShortP3PResult:
+    if dyn is None:
+        dyn = DynamicParams.from_config(config)
     k_cap = det.xy.shape[0]
     m_cap = markers_h.shape[0]
     dtype = det.xy.dtype
-    tol = jnp.asarray(config.back_projection_pixel_tolerance, dtype)
+    tol = dyn.back_projection_pixel_tolerance.astype(dtype)
 
     enough = det.count >= config.min_num_leds_detected
 
@@ -141,7 +145,7 @@ def short_p3p(
 
     def check_one(det_for_marker):
         return check_correspondences(
-            camera, det.xy, det.mask, markers_h, marker_mask, det_for_marker, min_needed, config
+            camera, det.xy, det.mask, markers_h, marker_mask, det_for_marker, min_needed, config, dyn
         )
 
     results = jax.vmap(check_one)(cands.det_for_marker)

@@ -38,6 +38,7 @@ from ..pf.soa import (
     weight_particles_soa,
 )
 from ..utils.config import TrackerConfig
+from ..utils.dynamic import DynamicParams
 from ..utils.flags import FailFlag
 from .initialise import initialise
 from .short_p3p import short_p3p
@@ -125,6 +126,7 @@ def _resample_and_refine(
     weights_norm,
     pairs_soa,
     config: TrackerConfig,
+    dyn: DynamicParams,
     t,
 ):
     """Resampling + GN refinement of the most-resampled particle
@@ -152,7 +154,10 @@ def _resample_and_refine(
         config.gn_convergence_tol,
     )
     # jump detection (:692-701)
-    jump = jnp.max(jnp.abs(res.pose[:3, :3] - pre_gn[:3, :3])) >= config.jump_threshold
+    jump = (
+        jnp.max(jnp.abs(res.pose[:3, :3] - pre_gn[:3, :3]))
+        >= dyn.jump_threshold.astype(res.pose.dtype)
+    )
 
     state = state._replace(
         predicted_pose=res.pose,
@@ -178,8 +183,16 @@ def tracker_step(
     config: TrackerConfig,
     obs_pose: jnp.ndarray | None = None,
     obs_time: jnp.ndarray | None = None,
+    dyn: DynamicParams | None = None,
 ):
-    """Advance one target by one frame.  Returns (state', FrameResult)."""
+    """Advance one target by one frame.  Returns (state', FrameResult).
+
+    `dyn` carries the runtime-tunable parameter tier as traced operands —
+    pass a modified DynamicParams to retune tolerances/noise/gates
+    between frames with NO recompilation (the dynamic_reconfigure
+    analogue); None bakes the config values in as constants."""
+    if dyn is None:
+        dyn = DynamicParams.from_config(config)
     dtype = state.current_pose.dtype
     t = jnp.asarray(t, dtype)
     if obs_pose is None:
@@ -196,10 +209,10 @@ def tracker_step(
         init_needed = n_markers
     params = config.blob_params()
     noise = NoiseBounds(
-        config.min_translation_noise,
-        config.max_translation_noise,
-        config.min_angular_noise,
-        config.max_angular_noise,
+        dyn.min_translation_noise.astype(dtype),
+        dyn.max_translation_noise.astype(dtype),
+        dyn.min_angular_noise.astype(dtype),
+        dyn.max_angular_noise.astype(dtype),
     )
     downgrade = jnp.asarray(
         list(config.marker_downgrade) + [False] * (markers_h.shape[0] - len(config.marker_downgrade)),
@@ -238,7 +251,9 @@ def tracker_step(
         enough = det.count >= init_needed
 
         def do_init(_):
-            return initialise(camera, det, markers_h, marker_mask, state.bank, config)
+            return initialise(
+                camera, det, markers_h, marker_mask, state.bank, config, dyn
+            )
 
         def no_init(_):
             from .initialise import InitResult
@@ -344,8 +359,9 @@ def tracker_step(
             fresh, prediction, jnp.maximum(t - state.time_current, 1e-6)
         )
         m_f = n_markers.astype(dtype)
-        exit_gate = m_f * jnp.minimum(config.pf_exit_gate_factor, num_led).astype(dtype)
-        accept_gate = m_f * jnp.minimum(config.pf_accept_gate_factor, num_led).astype(dtype)
+        num_led_f = num_led.astype(dtype)
+        exit_gate = m_f * jnp.minimum(dyn.pf_exit_gate_factor.astype(dtype), num_led_f)
+        accept_gate = m_f * jnp.minimum(dyn.pf_accept_gate_factor.astype(dtype), num_led_f)
 
         n = state.bank.shape[1]
         m_cap = markers_h.shape[0]
@@ -354,9 +370,9 @@ def tracker_step(
         def pf_body(carry):
             it, key, best_w, best_bank16, best_pairs, best_ncorr, highest = carry
             key, k = jax.random.split(key)
-            inflation = (1.0 + config.noise_inflation_per_10_iters * jnp.floor(it / 10.0)).astype(
-                dtype
-            )
+            inflation = (
+                1.0 + dyn.noise_inflation_per_10_iters * jnp.floor(it / 10.0)
+            ).astype(dtype)
             apply_pred = tracking & ((it % 10) != 0)
             if "propagate" in config.debug_skip:
                 bank16 = resampled16 * (1.0 + 1e-12 * inflation)
@@ -389,8 +405,8 @@ def tracker_step(
                     marker_mask,
                     det.xy,
                     det.mask,
-                    config.back_projection_pixel_tolerance_pf,
-                    config.back_projection_pixel_tolerance,
+                    dyn.back_projection_pixel_tolerance_pf.astype(dtype),
+                    dyn.back_projection_pixel_tolerance.astype(dtype),
                     downgrade,
                     m_f,
                 )
@@ -427,7 +443,7 @@ def tracker_step(
         best_idx = jnp.argmax(best_w)
 
         accepted = (w_sum > 0) & (highest > accept_gate)
-        marginal = highest < accept_gate + config.marginal_margin_factor * num_led.astype(dtype)
+        marginal = highest < accept_gate + dyn.marginal_margin_factor.astype(dtype) * num_led_f
 
         # --- recovery ladder (:633-719) ---
         def on_accept(state: TargetState):
@@ -442,7 +458,7 @@ def tracker_step(
                         order = jnp.argsort(~valid)
                         three = p[order][:3]
                         res = short_p3p(
-                            camera, det, markers_h, marker_mask, three, bank16, config
+                            camera, det, markers_h, marker_mask, three, bank16, config, dyn
                         )
                         state = state._replace(
                             bank=jnp.where(res.success, res.bank, state.bank),
@@ -494,6 +510,7 @@ def tracker_step(
                     weights_norm,
                     pairs_soa,
                     config,
+                    dyn,
                     t,
                 )
                 state = state._replace(
@@ -568,7 +585,8 @@ def tracker_step(
             nearest = jnp.argmin(d2, axis=-1)
             min_d = jnp.sqrt(jnp.min(d2, axis=-1))
             det_for_marker = jnp.where(
-                (min_d <= config.nearest_neighbour_pixel_tolerance) & marker_mask,
+                (min_d <= dyn.nearest_neighbour_pixel_tolerance.astype(dtype))
+                & marker_mask,
                 nearest.astype(jnp.int32),
                 -1,
             )
@@ -584,6 +602,7 @@ def tracker_step(
                 det_for_marker,
                 jnp.asarray(config.min_num_leds_detected, jnp.int32),
                 config,
+                dyn,
             )
 
             def corr_ok(state: TargetState):
@@ -604,7 +623,9 @@ def tracker_step(
 
             def corr_fail(state: TargetState):
                 # fall back to brute-force initialisation (:2069)
-                init_res = initialise(camera, det, markers_h, marker_mask, state.bank, config)
+                init_res = initialise(
+                    camera, det, markers_h, marker_mask, state.bank, config, dyn
+                )
 
                 def init_ok(state: TargetState):
                     corr, corr_mask = _corr_from_det_for_marker(
@@ -678,9 +699,10 @@ def make_tracker(camera: Camera, markers_h, marker_mask, config: TrackerConfig):
     marker_mask = jnp.asarray(marker_mask, bool)
 
     @jax.jit
-    def step(state, image, t, obs_pose=None, obs_time=None):
+    def step(state, image, t, obs_pose=None, obs_time=None, dyn=None):
         return tracker_step(
-            state, image, t, camera, markers_h, marker_mask, config, obs_pose, obs_time
+            state, image, t, camera, markers_h, marker_mask, config,
+            obs_pose, obs_time, dyn,
         )
 
     return step

@@ -1,5 +1,6 @@
 from .config import TrackerConfig
+from .dynamic import DynamicParams
 from .flags import FailFlag
 from .checkpoint import save_state, load_state
 
-__all__ = ["TrackerConfig", "FailFlag", "save_state", "load_state"]
+__all__ = ["TrackerConfig", "DynamicParams", "FailFlag", "save_state", "load_state"]

@@ -1,0 +1,115 @@
+"""Runtime retuning without recompilation (dynamic_reconfigure parity).
+
+Round-1 weakness: all 23 parameters were static to jit — one change cost
+a ~54 s tunnel recompile.  `DynamicParams` carries the hot-tunable tier
+(tolerances, noise bounds, gates) as traced operands: these tests pin
+that (a) changing values does NOT retrace/recompile, and (b) the values
+actually act on the computation.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pf_monocular_pose_estimator_tpu.io.synthetic import (
+    default_camera,
+    demo_markers,
+    render_frame,
+)
+from pf_monocular_pose_estimator_tpu.geometry.se3 import exp_se3
+from pf_monocular_pose_estimator_tpu.pf.soa import pack
+from pf_monocular_pose_estimator_tpu.tracker import TargetState, make_tracker
+from pf_monocular_pose_estimator_tpu.utils import DynamicParams, TrackerConfig
+
+
+def _tracking_state(camera, markers, config, drift_angle=0.02):
+    true_pose = np.array(
+        exp_se3(jnp.asarray([0.0, 0.0, 0.0, 0.05, -0.05, 0.02], jnp.float32))
+    )
+    true_pose[2, 3] += 1.3
+    frame = render_frame(camera, jnp.asarray(true_pose), markers)
+    drifted = np.array(true_pose) @ np.array(
+        exp_se3(jnp.asarray([0, 0, 0, drift_angle, drift_angle * 0.4, 0.0], jnp.float32))
+    )
+    drifted = jnp.asarray(drifted, jnp.float32)
+    state = TargetState.create(config.n_particles, jax.random.PRNGKey(1))
+    state = state._replace(
+        current_pose=drifted,
+        previous_pose=drifted,
+        predicted_pose=drifted,
+        resampled=pack(jnp.tile(drifted[None], (config.n_particles, 1, 1))),
+        bank=pack(jnp.tile(drifted[None], (config.n_particles, 1, 1))),
+        it_since_initialized=jnp.asarray(2, jnp.int32),
+        uncertainty=jnp.asarray(1, jnp.int32),
+        time_previous=jnp.asarray(0.0, jnp.float32),
+        time_current=jnp.asarray(0.02, jnp.float32),
+    )
+    return frame, state
+
+
+def test_retune_does_not_recompile_and_changes_behaviour():
+    camera = default_camera()
+    markers = demo_markers()
+    config = TrackerConfig(
+        n_particles=64,
+        min_blob_area=8.0,
+        pf_max_retries=2,
+        min_translation_noise=-1e-4,
+        max_translation_noise=1e-4,
+        min_angular_noise=-1e-4,
+        max_angular_noise=1e-4,
+    )
+    mask = jnp.ones((markers.shape[0],), bool)
+    step = make_tracker(camera, markers, mask, config)
+    # drift -> marker displacements of ~0.6-2.4 px: inside the default
+    # 10 px gate, partially outside a 1.5 px gate
+    frame, state = _tracking_state(camera, markers, config, drift_angle=0.06)
+
+    dyn = DynamicParams.from_config(config)
+    t = jnp.asarray(0.04, jnp.float32)
+
+    _, res_a = step(state, frame, t, dyn=dyn)
+    n_compiles = step._cache_size()
+
+    # retune the PF match gate live — same trace, new value
+    dyn_tight = dyn._replace(
+        back_projection_pixel_tolerance_pf=jnp.asarray(1.5, jnp.float32)
+    )
+    _, res_b = step(state, frame, t, dyn=dyn_tight)
+    dyn_loose = dyn._replace(
+        back_projection_pixel_tolerance_pf=jnp.asarray(25.0, jnp.float32)
+    )
+    _, res_c = step(state, frame, t, dyn=dyn_loose)
+
+    assert step._cache_size() == n_compiles, (
+        "changing a DynamicParams value triggered a recompile"
+    )
+    # the gate value acts: a tighter tolerance admits fewer matches
+    assert float(res_b.best_weight) < float(res_a.best_weight)
+    assert float(res_c.best_weight) >= float(res_a.best_weight)
+
+
+def test_noise_bounds_act_without_recompile():
+    camera = default_camera()
+    markers = demo_markers()
+    config = TrackerConfig(n_particles=128, min_blob_area=8.0, pf_max_retries=2)
+    mask = jnp.ones((markers.shape[0],), bool)
+    step = make_tracker(camera, markers, mask, config)
+    frame, state = _tracking_state(camera, markers, config, drift_angle=0.0)
+
+    dyn = DynamicParams.from_config(config)
+    t = jnp.asarray(0.04, jnp.float32)
+    state_a, _ = step(state, frame, t, dyn=dyn)
+    n_compiles = step._cache_size()
+
+    big = dyn._replace(
+        min_translation_noise=jnp.asarray(-0.3, jnp.float32),
+        max_translation_noise=jnp.asarray(0.3, jnp.float32),
+    )
+    state_b, _ = step(state, frame, t, dyn=big)
+    assert step._cache_size() == n_compiles
+
+    # particle spread (translation row variance) reflects the new bounds
+    spread_a = float(jnp.std(state_a.bank[3]))
+    spread_b = float(jnp.std(state_b.bank[3]))
+    assert spread_b > 5 * max(spread_a, 1e-6)
