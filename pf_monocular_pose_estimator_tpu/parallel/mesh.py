@@ -95,21 +95,35 @@ def make_sharded_tracker(
     marker_mask,
     config: TrackerConfig,
     mesh: Mesh,
+    resample_reach: int = 1,
 ):
     """Jitted single-target step with the bank sharded over 'particles'.
 
     Returns `step(state, image, t) -> (state', FrameResult)`; state must
     be placed with `shard_target_state` first (or anywhere — GSPMD will
     reshard to the declared in_shardings).
+
+    Resampling goes through the EXPLICIT distributed scheme
+    (`parallel.resample`): scalar-only global collectives + a
+    reach-limited ppermute ring — never an all-gather of the (16, N)
+    bank (pinned by tests/test_distributed_resample.py's HLO check).
     """
+    from .resample import make_distributed_resampler
+
     markers_h = jnp.asarray(markers_h)
     marker_mask = jnp.asarray(marker_mask, bool)
     specs = _state_shardings(mesh)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())
+    resampler = make_distributed_resampler(
+        mesh, config.n_particles, reach=resample_reach
+    )
 
     def _step(state, image, t):
-        return tracker_step(state, image, t, camera, markers_h, marker_mask, config)
+        return tracker_step(
+            state, image, t, camera, markers_h, marker_mask, config,
+            resample_fn=resampler,
+        )
 
     return jax.jit(
         _step,
@@ -139,8 +153,16 @@ def make_sharded_multi_tracker(
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())
 
+    from .resample import make_distributed_resampler
+
+    resampler = make_distributed_resampler(
+        mesh, config.n_particles, reach=1
+    )
+
     def _one(state, image, t, markers, mask):
-        return tracker_step(state, image, t, camera, markers, mask, config)
+        return tracker_step(
+            state, image, t, camera, markers, mask, config, resample_fn=resampler
+        )
 
     def _step(states, image, t):
         return jax.vmap(_one, in_axes=(0, None, None, 0, 0))(

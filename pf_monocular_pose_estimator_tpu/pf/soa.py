@@ -246,6 +246,20 @@ def gather_soa(bank16: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(bank16, indices, axis=1)
 
 
+def pick_lane(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr[..., idx] for a single traced index via a one-hot reduction.
+
+    A dynamic-slice at a traced index on a lane-sharded array makes
+    GSPMD all-gather the whole operand; the masked sum lowers to a
+    shard-local reduce + scalar psum instead (same result, collective
+    cost O(output) not O(N)).  Used for every "pick one particle"
+    (best/most-resampled) access on bank-shaped arrays.
+    """
+    n = arr.shape[-1]
+    onehot = jnp.arange(n) == idx
+    return jnp.sum(jnp.where(onehot, arr, 0), axis=-1)
+
+
 def counts_from_sorted_ancestors(ancestors: jnp.ndarray, n: int) -> jnp.ndarray:
     """Resample counts without a scatter: stratified ancestors are sorted,
     so counts are differences of searchsorted positions (replaces the

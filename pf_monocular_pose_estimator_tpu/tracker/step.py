@@ -32,6 +32,7 @@ from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
 from ..pf.soa import (
     gather_soa,
+    pick_lane,
     propagate_soa,
     stratified_resample_soa,
     unpack,
@@ -128,20 +129,27 @@ def _resample_and_refine(
     config: TrackerConfig,
     dyn: DynamicParams,
     t,
+    resample_fn=None,
 ):
     """Resampling + GN refinement of the most-resampled particle
     (pose_estimator.cpp:668-703) + optimiseAndUpdatePose.
 
     bank16: (16, N) SoA bank (may contain short-P3P seeds);
-    pairs_soa: (M, 2, N) per-particle correspondence pairs."""
+    pairs_soa: (M, 2, N) per-particle correspondence pairs.
+    resample_fn: optional explicit resampler `(key, weights, bank16) ->
+    (resampled16, most)`-like (parallel.resample.DistResampleOut) — the
+    mesh-sharded step plugs the distributed collective scheme in here."""
     if "resample" in config.debug_skip:
         most = jnp.argmax(weights_norm)
         resampled16 = bank16
+    elif resample_fn is not None:
+        out = resample_fn(key, weights_norm, bank16)
+        resampled16, most = out.resampled, out.most
     else:
         anc, counts, most = stratified_resample_soa(key, weights_norm)
         resampled16 = gather_soa(bank16, anc)
-    pre_gn = bank16[:, most].reshape(4, 4)
-    corr = pairs_soa[:, :, most]  # (M,2) (marker, det), -1 padded
+    pre_gn = pick_lane(bank16, most).reshape(4, 4)
+    corr = pick_lane(pairs_soa, most)  # (M,2) (marker, det), -1 padded
     corr_mask = corr[:, 0] >= 0
     res = gauss_newton_refine(
         camera,
@@ -184,6 +192,7 @@ def tracker_step(
     obs_pose: jnp.ndarray | None = None,
     obs_time: jnp.ndarray | None = None,
     dyn: DynamicParams | None = None,
+    resample_fn=None,
 ):
     """Advance one target by one frame.  Returns (state', FrameResult).
 
@@ -453,7 +462,7 @@ def tracker_step(
 
                     def do_short(state: TargetState):
                         # extract the best particle's 3 pairs
-                        p = pairs_soa[:, :, best_idx]  # (M,2) (marker, det)
+                        p = pick_lane(pairs_soa, best_idx)  # (M,2) (marker, det)
                         valid = p[:, 0] >= 0
                         order = jnp.argsort(~valid)
                         three = p[order][:3]
@@ -473,7 +482,7 @@ def tracker_step(
                         )
                         return state
 
-                    has3 = ncorr[best_idx] == 3
+                    has3 = pick_lane(ncorr, best_idx) == 3
                     return jax.lax.cond(has3, do_short, lambda s: s, state)
 
                 def over_cap(state: TargetState):
@@ -512,6 +521,7 @@ def tracker_step(
                     config,
                     dyn,
                     t,
+                    resample_fn,
                 )
                 state = state._replace(
                     fail_flag=jnp.where(
@@ -529,7 +539,7 @@ def tracker_step(
                 uncertainty=state.uncertainty + 1,
                 it_since_initialized=jnp.asarray(0, jnp.int32),
                 fail_flag=jnp.asarray(int(FailFlag.PF_NO_REASONABLE_PARTICLE), jnp.int32),
-                predicted_pose=bank16[:, best_idx].reshape(4, 4),
+                predicted_pose=pick_lane(bank16, best_idx).reshape(4, 4),
                 pose_updated=jnp.asarray(False),
                 weights=weights_norm,
             )

@@ -1,0 +1,186 @@
+"""Explicit distributed resampling: equivalence + collective discipline.
+
+Pins (a) that the shard_map scheme reproduces the single-device
+stratified resampler's exact slot-for-slot output on an 8-device mesh,
+(b) that extreme weight skew stays exact within the ring reach and is
+*diagnosed* (not silently wrong) beyond it, and (c) — the round-1 gap —
+that the compiled sharded tracker step contains NO all-gather of
+bank-scale arrays: the only collectives on the resampling path move
+scalars and neighbour blocks.
+"""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pf_monocular_pose_estimator_tpu.parallel.mesh import make_mesh
+from pf_monocular_pose_estimator_tpu.parallel.resample import (
+    make_distributed_resampler,
+)
+from pf_monocular_pose_estimator_tpu.pf.soa import stratified_resample_soa, gather_soa
+
+
+def _mesh8():
+    return make_mesh(particle_devices=8, devices=jax.devices()[:8])
+
+
+def _random_bank(rng, n):
+    return jnp.asarray(rng.normal(size=(16, n)), jnp.float32)
+
+
+def test_distributed_matches_single_device():
+    n = 2048
+    mesh = _mesh8()
+    rng = np.random.default_rng(0)
+    bank = _random_bank(rng, n)
+    weights = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
+    key = jax.random.PRNGKey(7)
+
+    anc, counts_ref, most_ref = stratified_resample_soa(key, weights)
+    expected = gather_soa(bank, anc)
+
+    shard_b = NamedSharding(mesh, P(None, "particles"))
+    shard_w = NamedSharding(mesh, P("particles"))
+    bank_s = jax.device_put(bank, shard_b)
+    weights_s = jax.device_put(weights, shard_w)
+
+    resample = make_distributed_resampler(mesh, n, reach=1)
+    out = jax.jit(resample)(key, weights_s, bank_s)
+
+    assert int(out.clipped) == 0
+    got = np.asarray(out.resampled)
+    exp = np.asarray(expected)
+    # identical canonical assignment -> identical slots (f32 boundary
+    # rounding between local-cumsum+offset and global cumsum can shift
+    # isolated draws by one ancestor)
+    mismatch = np.any(got != exp, axis=0).mean()
+    assert mismatch < 0.01, f"{mismatch:.3%} of slots differ"
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out.counts))[-10:], np.sort(np.asarray(counts_ref))[-10:]
+    )
+    assert int(out.most) == int(most_ref)
+
+
+def test_distributed_handles_uniform_and_zero_weights():
+    n = 1024
+    mesh = _mesh8()
+    rng = np.random.default_rng(1)
+    bank = _random_bank(rng, n)
+    resample = make_distributed_resampler(mesh, n, reach=1)
+    key = jax.random.PRNGKey(3)
+
+    for weights in [jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32)]:
+        out = jax.jit(resample)(key, weights, bank)
+        anc, counts_ref, _ = stratified_resample_soa(key, weights)
+        expected = np.asarray(gather_soa(bank, anc))
+        got = np.asarray(out.resampled)
+        mismatch = np.any(got != expected, axis=0).mean()
+        assert mismatch < 0.01
+        assert int(out.clipped) == 0
+
+
+def test_skew_within_reach_is_exact_and_beyond_reach_is_diagnosed():
+    n = 1024
+    s = n // 8
+    mesh = _mesh8()
+    rng = np.random.default_rng(2)
+    bank = _random_bank(rng, n)
+    key = jax.random.PRNGKey(11)
+
+    # all mass on shards 3+4: ancestors for every output shard lie there;
+    # shards 0 and 7 are 3+ hops away -> reach=1 must clip, reach=7 must not
+    w = np.full(n, 1e-6, np.float32)
+    w[3 * s : 5 * s] = 1.0
+    weights = jnp.asarray(w)
+
+    out_far = jax.jit(make_distributed_resampler(mesh, n, reach=1))(key, weights, bank)
+    assert int(out_far.clipped) > 0  # honest diagnostic under extreme skew
+
+    out_full = jax.jit(make_distributed_resampler(mesh, n, reach=7))(key, weights, bank)
+    assert int(out_full.clipped) == 0
+    anc, _, _ = stratified_resample_soa(key, weights)
+    expected = np.asarray(gather_soa(bank, anc))
+    got = np.asarray(out_full.resampled)
+    mismatch = np.any(got != expected, axis=0).mean()
+    assert mismatch < 0.01
+
+
+def _collect_all_gather_sizes(hlo_text):
+    """Byte sizes of all-gather results in an HLO dump."""
+    sizes = []
+    for m in re.finditer(r"= *(\S+) all-gather", hlo_text):
+        shape = m.group(1)
+        dims = re.findall(r"(\d+)(?:,|\])", shape)
+        elems = 1
+        for d in re.findall(r"\d+", shape.split("[")[-1].split("]")[0] or "1"):
+            elems *= int(d)
+        bytes_ = elems * (2 if "bf16" in shape else 4)
+        sizes.append(bytes_)
+    return sizes
+
+
+def test_compiled_sharded_step_has_no_bank_scale_all_gather():
+    """The round-1 gap: the WHOLE compiled sharded tracker step (not just
+    the resampler) must keep the (16, N) bank partitioned — no
+    bank-scale or weights-scale all-gather anywhere in the HLO."""
+    import jax.numpy as jnp2
+    from pf_monocular_pose_estimator_tpu.io.synthetic import (
+        default_camera,
+        demo_markers,
+    )
+    from pf_monocular_pose_estimator_tpu.parallel.mesh import (
+        make_sharded_tracker,
+        shard_target_state,
+    )
+    from pf_monocular_pose_estimator_tpu.tracker import TargetState
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+
+    n = 8192
+    mesh = _mesh8()
+    camera = default_camera()
+    markers = demo_markers()
+    config = TrackerConfig(n_particles=n, min_blob_area=8.0, pf_max_retries=2)
+    step = make_sharded_tracker(
+        camera, markers, jnp2.ones((markers.shape[0],), bool), config, mesh
+    )
+    state = shard_target_state(TargetState.create(n, jax.random.PRNGKey(0)), mesh)
+    image = jnp2.zeros((camera.height, camera.width), jnp2.float32)
+    t = jnp2.asarray(0.02, jnp2.float32)
+    hlo = step.lower(state, image, t).compile().as_text()
+
+    weights_bytes = n * 4  # the (N,) weight vector; the bank is 16x this
+    sizes = _collect_all_gather_sizes(hlo)
+    big = [s for s in sizes if s >= weights_bytes]
+    assert not big, (
+        f"bank/weights-scale all-gather in the sharded step: {big} bytes "
+        f"(weights={weights_bytes}, bank={16 * weights_bytes})"
+    )
+
+
+def test_compiled_resampler_has_no_bank_scale_all_gather():
+    n = 8192
+    mesh = _mesh8()
+    resample = make_distributed_resampler(mesh, n, reach=1)
+    shard_b = NamedSharding(mesh, P(None, "particles"))
+    shard_w = NamedSharding(mesh, P("particles"))
+    fn = jax.jit(
+        resample,
+        in_shardings=(NamedSharding(mesh, P()), shard_w, shard_b),
+    )
+    key = jax.random.PRNGKey(0)
+    w = jax.device_put(jnp.ones((n,), jnp.float32), shard_w)
+    b = jax.device_put(jnp.zeros((16, n), jnp.float32), shard_b)
+    hlo = fn.lower(key, w, b).compile().as_text()
+
+    bank_bytes = 16 * n * 4
+    weights_bytes = n * 4
+    sizes = _collect_all_gather_sizes(hlo)
+    big = [s for s in sizes if s >= weights_bytes]
+    assert not big, (
+        f"bank/weights-scale all-gather present: {big} bytes (bank={bank_bytes})"
+    )
+    # the ring must appear as collective-permute, not as a gather
+    assert "collective-permute" in hlo

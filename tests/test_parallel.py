@@ -130,3 +130,24 @@ def test_resample_sharded_equivalence():
     anc2, counts2, most2 = jax.jit(stratified_resample)(jax.random.PRNGKey(5), w_sh)
     np.testing.assert_array_equal(np.asarray(anc1), np.asarray(anc2))
     assert int(most1) == int(most2)
+
+
+def test_multihost_entry_single_process():
+    """The multi-host launcher wiring (initialize_distributed no-op path,
+    pod mesh over all devices, frame broadcast) runs single-process on
+    the virtual 8-device mesh."""
+    import numpy as np
+    from pf_monocular_pose_estimator_tpu.parallel.distributed import (
+        broadcast_frame,
+        initialize_distributed,
+        make_pod_mesh,
+    )
+
+    assert initialize_distributed(None, 1, None) == 0
+    mesh = make_pod_mesh(target_devices=1)
+    assert mesh.devices.size == len(jax.devices())
+    frame = np.arange(12, dtype=np.float32).reshape(3, 4)
+    arr = broadcast_frame(frame, mesh)
+    assert arr.shape == (3, 4)
+    np.testing.assert_array_equal(np.asarray(arr), frame)
+    assert arr.sharding.is_fully_replicated
