@@ -48,9 +48,11 @@ def run_single(camera, markers, config, seq, seed=0):
     est = np.stack(est)
     upd = np.asarray(upd)
     gt = np.asarray(seq.poses)
+    err = np.linalg.norm(est[upd][:, :3, 3] - gt[upd][:, :3, 3], axis=-1) * 1000
     return {
         "tracked_fraction": round(float(upd.mean()), 3),
         "ate_mm": round(absolute_trajectory_error(est, gt, upd) * 1000, 3),
+        "median_err_mm": round(float(np.median(err)), 3) if upd.any() else None,
         "orientation_err_deg": round(orientation_error_deg(est, gt, upd), 3),
         "reinits": sum(1 for f in flags[1:] if f == 0),
         "wall_s": round(wall, 1),

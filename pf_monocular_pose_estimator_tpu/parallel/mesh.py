@@ -68,6 +68,7 @@ def _state_shardings(mesh: Mesh, batched: bool = False):
         weights=weights_spec,
         it_since_initialized=small,
         uncertainty=small,
+        degraded_frames=small,
         roi=small,
         time_current=small,
         time_previous=small,

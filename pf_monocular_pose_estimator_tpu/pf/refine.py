@@ -36,6 +36,7 @@ class RefineResult(NamedTuple):
     final_error: jnp.ndarray  # (...,) sum of squared residuals
     initial_error: jnp.ndarray  # (...,)
     converged: jnp.ndarray  # (...,) bool
+    max_residual: jnp.ndarray  # (...,) largest per-pair pixel residual
 
 
 def _residuals_and_normal_eqs(camera, pose, markers_h, det_xy, corr, corr_mask):
@@ -50,6 +51,7 @@ def _residuals_and_normal_eqs(camera, pose, markers_h, det_xy, corr, corr_mask):
     uv_pred = project(camera, pose, pts)  # (C, 2)
     e = det_xy[d_idx] - uv_pred  # (C, 2)
     e = jnp.where(corr_mask[:, None], e, 0.0)
+    max_resid = jnp.max(jnp.linalg.norm(e, axis=-1))
 
     # Eade A.14 Jacobian, twist = [translation, rotation].
     pc = jnp.einsum("ij,cj->ci", pose[:3, :], pts)  # (C, 3) camera-frame
@@ -71,7 +73,7 @@ def _residuals_and_normal_eqs(camera, pose, markers_h, det_xy, corr, corr_mask):
     a_mat = jnp.einsum("cri,crj->ij", jac, jac)  # (6, 6), R = I
     b_vec = jnp.einsum("cri,cr->i", jac, e)  # (6,)
     err = jnp.sum(e * e)
-    return a_mat, b_vec, err
+    return a_mat, b_vec, err, max_resid
 
 
 def gauss_newton_refine(
@@ -101,7 +103,7 @@ def gauss_newton_refine(
 
     def body(carry):
         pose, done, n_iter, _ = carry
-        a_mat, b_vec, err = _residuals_and_normal_eqs(
+        a_mat, b_vec, err, _ = _residuals_and_normal_eqs(
             camera, pose, markers_h, det_xy, corr, corr_mask
         )
         a_reg = a_mat + damping * jnp.eye(6, dtype=dtype)
@@ -118,11 +120,11 @@ def gauss_newton_refine(
         _, done, n_iter, _ = carry
         return (~done) & (n_iter < max_iterations)
 
-    _, _, err0 = _residuals_and_normal_eqs(camera, pose0, markers_h, det_xy, corr, corr_mask)
+    _, _, err0, _ = _residuals_and_normal_eqs(camera, pose0, markers_h, det_xy, corr, corr_mask)
     init = (pose0, jnp.asarray(False), jnp.zeros((), jnp.int32), err0)
     pose, done, n_iter, _ = jax.lax.while_loop(cond, body, init)
 
-    a_mat, _, err_final = _residuals_and_normal_eqs(
+    a_mat, _, err_final, max_resid = _residuals_and_normal_eqs(
         camera, pose, markers_h, det_xy, corr, corr_mask
     )
     # Divergence guard (intended semantics of :1886-1895): revert if worse.
@@ -137,4 +139,5 @@ def gauss_newton_refine(
         final_error=err_out,
         initial_error=err0,
         converged=done,
+        max_residual=max_resid,
     )

@@ -81,6 +81,29 @@ def initialise(
         hist, det.mask, marker_mask, config, initialisation=True
     )
 
+    cand_dfm = cands.det_for_marker  # (R, M)
+    cand_valid = cands.valid
+    if config.init_drop_one_variants > 0:
+        # Under an occlusion + spurious blobs, every FULL candidate can
+        # carry exactly one wrong pair: sub-triples containing it yield
+        # wrong poses, and sub-triples excluding it see it as an unused
+        # pair that fails the certainty gate — so validation rejects all
+        # of them (flag 8) even though M-1 pairs are right.  Emitting
+        # drop-one-pair variants of the top candidates makes the true
+        # partial assignment reachable WITHOUT loosening the reference's
+        # certainty/fraction thresholds.  Variants rank after all full
+        # candidates, so a validating full set still wins.
+        r2 = min(config.init_drop_one_variants, cand_dfm.shape[0])
+        top = cand_dfm[:r2]  # (R2, M)
+        drop = jnp.where(
+            jnp.eye(m_cap, dtype=bool)[None, :, :],  # (1, M, M)
+            -1,
+            top[:, None, :],  # (R2, 1, M)
+        ).reshape(r2 * m_cap, m_cap)
+        drop_valid = jnp.repeat(cands.valid[:r2], m_cap)
+        cand_dfm = jnp.concatenate([cand_dfm, drop], axis=0)
+        cand_valid = jnp.concatenate([cand_valid, drop_valid], axis=0)
+
     def check_one(det_for_marker):
         return check_correspondences(
             camera,
@@ -94,18 +117,23 @@ def initialise(
             dyn,
         )
 
-    results = jax.vmap(check_one)(cands.det_for_marker)  # over R candidates
-    cand_success = results.success & cands.valid  # (R,)
+    results = jax.vmap(check_one)(cand_dfm)  # over all candidates
+    cand_success = results.success & cand_valid
 
     any_success = jnp.any(cand_success)
     # first (highest-probability) validated candidate (:1746-1751)
     first = jnp.argmax(cand_success)
     pose = results.pose[first]
-    det_for_marker = cands.det_for_marker[first]
+    det_for_marker = cand_dfm[first]
 
-    # Harvest seeds across ALL candidates in rank order (:1742-1755)
+    # Harvest seeds in rank order, but ONLY from candidates up to the
+    # first validated one — the reference walks the ranked list and stops
+    # there (:1733-1755), so later (unchecked, possibly wrong-basin) P3P
+    # poses never reach its particle bank.
+    rank = jnp.arange(cand_dfm.shape[0])
+    walked = rank <= first
     seeds = results.seeds.reshape(-1, 4, 4)
-    seed_mask = (results.seed_mask & cands.valid[:, None]).reshape(-1)
+    seed_mask = (results.seed_mask & (cand_valid & walked)[:, None]).reshape(-1)
     s_cap = config.max_p3p_seeds
     order = jnp.argsort(~seed_mask)
     seeds = seeds[order][:s_cap]

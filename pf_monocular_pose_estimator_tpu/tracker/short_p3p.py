@@ -153,8 +153,11 @@ def short_p3p(
     any_success = jnp.any(cand_success)
     first = jnp.argmax(cand_success)
 
+    # seeds only from candidates up to the first validated one (the
+    # reference stops walking there, :2698-2726)
+    walked = jnp.arange(cands.det_for_marker.shape[0]) <= first
     seeds = results.seeds.reshape(-1, 4, 4)
-    seed_mask = (results.seed_mask & cands.valid[:, None]).reshape(-1)
+    seed_mask = (results.seed_mask & (cands.valid & walked)[:, None]).reshape(-1)
     order = jnp.argsort(~seed_mask)
     seeds = seeds[order][: config.max_p3p_seeds]
     seed_mask = seed_mask[order][: config.max_p3p_seeds]

@@ -33,6 +33,11 @@ class TargetState(NamedTuple):
     weights: jnp.ndarray  # (N,) normalised particle weights
     it_since_initialized: jnp.ndarray  # int32, capped at 2
     uncertainty: jnp.ndarray  # int32 consecutive-failure counter
+    # consecutive accepted frames whose best particle explains fewer
+    # than all markers — a sustained run indicates a wrong-but-self-
+    # consistent pose lock (engine extension; see TrackerConfig.
+    # degraded_reinit_frames)
+    degraded_frames: jnp.ndarray  # int32
     roi: jnp.ndarray  # (4,) [x0,y0,w,h]
     time_current: jnp.ndarray  # f32
     time_previous: jnp.ndarray  # f32
@@ -68,6 +73,7 @@ class TargetState(NamedTuple):
             weights=jnp.full((n_particles,), 1.0 / n_particles, dtype),
             it_since_initialized=jnp.zeros((), jnp.int32),
             uncertainty=jnp.zeros((), jnp.int32),
+            degraded_frames=jnp.zeros((), jnp.int32),
             roi=jnp.asarray([0, 0, image_size[0], image_size[1]], dtype),
             time_current=jnp.zeros((), dtype),
             time_previous=jnp.asarray(-1.0, dtype),

@@ -129,6 +129,8 @@ def _resample_and_refine(
     config: TrackerConfig,
     dyn: DynamicParams,
     t,
+    predicted,
+    pred_trustworthy,
     resample_fn=None,
 ):
     """Resampling + GN refinement of the most-resampled particle
@@ -148,27 +150,111 @@ def _resample_and_refine(
     else:
         anc, counts, most = stratified_resample_soa(key, weights_norm)
         resampled16 = gather_soa(bank16, anc)
+
+    dtype = bank16.dtype
     pre_gn = pick_lane(bank16, most).reshape(4, 4)
-    corr = pick_lane(pairs_soa, most)  # (M,2) (marker, det), -1 padded
-    corr_mask = corr[:, 0] >= 0
-    res = gauss_newton_refine(
-        camera,
-        pre_gn,
-        markers_h,
-        det.xy,
-        corr,
-        corr_mask,
-        config.gn_max_iterations,
-        config.gn_convergence_tol,
+    base_pairs = pick_lane(pairs_soa, most)  # (M,2) greedy (marker, det)
+    m_cap = markers_h.shape[0]
+    # per-marker detection map from the greedy pair list
+    marker_ids = jnp.arange(m_cap)
+    dfm_base = jnp.max(
+        jnp.where(base_pairs[:, 0][None, :] == marker_ids[:, None], base_pairs[:, 1][None, :], -1),
+        axis=1,
+    )  # (M,) detection per marker, -1 unbound
+
+    if config.gn_hypotheses <= 1:
+        dfm_h = dfm_base[None]  # (1, M)
+    else:
+        # BINDING variants of the best particle: spurious blobs are
+        # injected within a few px of real ones, so a slightly-off pose
+        # greedily binds a marker to the clone and GN then converges onto
+        # it — a self-reinforcing bias the reference shares.  The true
+        # binding has a lower converged residual, so refine (a) the
+        # greedy set, (b) one variant per marker swapped to its
+        # second-nearest in-tolerance detection, (c) one variant per
+        # marker with the pair dropped, and keep the best per-pair
+        # residual.  Clean frames: the greedy set wins unchanged.
+        uv0 = project(camera, pre_gn, markers_h)  # (M,2)
+        d2m = jnp.sum((det.xy[None, :, :] - uv0[:, None, :]) ** 2, -1)  # (M,K)
+        big = jnp.asarray(1e12, dtype)
+        d2m = jnp.where(det.mask[None, :], d2m, big)
+        tol2 = (dyn.back_projection_pixel_tolerance_pf.astype(dtype)) ** 2
+        # second-nearest: mask out the currently bound detection
+        bound = jnp.clip(dfm_base, 0, det.xy.shape[0] - 1)
+        d2_alt = jnp.where(
+            jnp.arange(det.xy.shape[0])[None, :] == bound[:, None], big, d2m
+        )
+        alt = jnp.argmin(d2_alt, axis=1).astype(jnp.int32)  # (M,)
+        alt_ok = (jnp.min(d2_alt, axis=1) <= tol2) & (dfm_base >= 0)
+        alt = jnp.where(alt_ok, alt, dfm_base)
+
+        eye_m = jnp.eye(m_cap, dtype=bool)
+        swap_h = jnp.where(eye_m, alt[None, :], dfm_base[None, :])  # (M, M)
+        drop_h = jnp.where(eye_m, -1, dfm_base[None, :])  # (M, M)
+        dfm_h = jnp.concatenate([dfm_base[None], swap_h, drop_h], axis=0)
+
+    corrs = jnp.concatenate(
+        [
+            jnp.broadcast_to(marker_ids[None, :, None], (*dfm_h.shape, 1)),
+            dfm_h[..., None],
+        ],
+        axis=-1,
+    ).astype(jnp.int32)  # (H, M, 2)
+    corr_masks = (dfm_h >= 0) & marker_mask[None, :]  # (H, M)
+    res = jax.vmap(
+        lambda c, cm: gauss_newton_refine(
+            camera, pre_gn, markers_h, det.xy, c, cm,
+            config.gn_max_iterations, config.gn_convergence_tol,
+        )
+    )(corrs, corr_masks)
+    # selection: a hypothesis is FEASIBLE when every pair's converged
+    # residual is below the gate (true bindings land sub-pixel; a
+    # clone/wrong binding leaves one pair at 2-5 px).  Among feasible
+    # hypotheses the one with the most pairs wins, ties to the greedy
+    # base (index 0); if none is feasible, keep the base — exactly the
+    # reference's behaviour on frames where nothing can be told apart.
+    n_pairs = jnp.sum(corr_masks, -1).astype(dtype)  # (H,)
+    # GN polishes the winning particle locally; a hypothesis whose
+    # converged pose left the particle's neighbourhood found a different
+    # (coincidental) basin and is discarded — on healthy frames GN moves
+    # millimetres
+    local = jnp.linalg.norm(res.pose[:, :3, 3] - pre_gn[:3, 3][None], axis=-1) <= (
+        config.gn_step_radius
+    )
+    feasible = (
+        (res.max_residual <= config.gn_residual_gate) & (n_pairs > 0) & local
+    )
+    n_h = corr_masks.shape[0]
+    pref = n_pairs - 1e-3 * jnp.arange(n_h, dtype=dtype)  # ties -> earlier
+    pref = jnp.where(feasible, pref, -jnp.inf)
+    best_h = jnp.where(jnp.any(feasible), jnp.argmax(pref), 0)
+    res = jax.tree_util.tree_map(lambda x: x[best_h], res)
+    # no feasible hypothesis at all -> even the base GN is suspect; keep
+    # the particle's pose (the PF accepted it) rather than a wild fit
+    res = res._replace(
+        pose=jnp.where(jnp.any(feasible), res.pose, pre_gn)
     )
     # jump detection (:692-701)
     jump = (
         jnp.max(jnp.abs(res.pose[:3, :3] - pre_gn[:3, :3]))
         >= dyn.jump_threshold.astype(res.pose.dtype)
     )
+    final_pose = res.pose
+    if config.jump_translation_radius > 0.0:
+        # translation-teleport rejection (engine extension; the rotation
+        # flag above is reference semantics and advisory-only there).
+        # Only while the prediction itself is trustworthy — right after a
+        # re-init the const-velocity extrapolation can be arbitrarily
+        # wrong, and clamping to it would anchor the track to garbage.
+        teleport = pred_trustworthy & (
+            jnp.linalg.norm(res.pose[:3, 3] - predicted[:3, 3])
+            > config.jump_translation_radius
+        )
+        final_pose = jnp.where(teleport, predicted, res.pose)
+        jump = jump | teleport
 
     state = state._replace(
-        predicted_pose=res.pose,
+        predicted_pose=final_pose,
         covariance=res.covariance,
         it_since_initialized=jnp.minimum(state.it_since_initialized + 1, 2),
         pose_updated=jnp.asarray(True),
@@ -177,7 +263,7 @@ def _resample_and_refine(
         weights=weights_norm,
         bank=bank16,
     )
-    state = _update_pose_times(state, t, res.pose)
+    state = _update_pose_times(state, t, final_pose)
     return state, jump
 
 
@@ -311,6 +397,27 @@ def tracker_step(
                 fail_flag=init_res.flag,
             )
 
+        # temporal-consistency gate: while recently tracking, a validated
+        # init that teleports the pose is a wrong-but-self-consistent
+        # correspondence set — reject it and keep searching
+        if config.init_consistency_radius > 0.0:
+            prev_t = state.current_pose[:3, 3]
+            had_track = jnp.linalg.norm(prev_t) > 1e-6
+            recently = state.uncertainty < config.init_consistency_uncertainty_cap
+            far = (
+                jnp.linalg.norm(init_res.pose[:3, 3] - prev_t)
+                > config.init_consistency_radius
+            )
+            inconsistent = init_res.success & had_track & recently & far
+            init_res = init_res._replace(
+                success=init_res.success & ~inconsistent,
+                flag=jnp.where(
+                    inconsistent,
+                    jnp.asarray(int(FailFlag.INIT_INCONSISTENT), jnp.int32),
+                    init_res.flag,
+                ),
+            )
+
         state = state._replace(roi=roi)
         state = jax.lax.cond(init_res.success, on_success, on_failure, state)
         return state, det, jnp.asarray(0.0, dtype), jnp.asarray(True)
@@ -363,6 +470,14 @@ def tracker_step(
 
         # --- PF retry loop (:535-616) ---
         tracking = state.it_since_initialized > 1
+        # the const-velocity prediction is trustworthy only on a mature
+        # track whose extrapolated step is itself small (used by the
+        # teleport guard in _resample_and_refine)
+        pred_trustworthy = tracking & (
+            jnp.linalg.norm(prediction[:3, 3]) < 0.5 * config.jump_translation_radius
+            if config.jump_translation_radius > 0.0
+            else tracking
+        )
         fresh = state.it_since_initialized == 1
         fac_t, fac_r = propagation_noise_factors(
             fresh, prediction, jnp.maximum(t - state.time_current, 1e-6)
@@ -504,6 +619,38 @@ def tracker_step(
                 marginal, marginal_path, lambda s: s._replace(uncertainty=jnp.asarray(1, jnp.int32)), state
             )
 
+            # Degraded-lock detection (engine extension): a wrong-but-
+            # self-consistent pose explains only a subset of the markers
+            # EVERY frame, while healthy tracking drops below a full
+            # explanation only on occluded frames.  A sustained run
+            # forces a re-init with the consistency gate disengaged (the
+            # gate would otherwise anchor to the wrong pose).
+            if config.degraded_reinit_frames > 0:
+                # full-quality frame: all M markers matched at close
+                # range scores ~ M*(M+0.8); a wrong lock (or an occluded
+                # frame) sits a whole match lower.  Occlusions are
+                # coin-flipped per frame, so only a LOCK sustains the run.
+                strong = m_f * (m_f + jnp.asarray(config.degraded_weight_offset, dtype))
+                degraded = highest < strong
+                deg = jnp.where(degraded, state.degraded_frames + 1, 0).astype(jnp.int32)
+                force_reinit = deg >= config.degraded_reinit_frames
+                state = state._replace(
+                    degraded_frames=jnp.where(force_reinit, 0, deg),
+                    it_since_initialized=jnp.where(
+                        force_reinit, 0, state.it_since_initialized
+                    ),
+                    uncertainty=jnp.where(
+                        force_reinit,
+                        jnp.asarray(config.init_consistency_uncertainty_cap, jnp.int32),
+                        state.uncertainty,
+                    ),
+                    fail_flag=jnp.where(
+                        force_reinit,
+                        jnp.asarray(int(FailFlag.UNCERTAINTY_REINIT), jnp.int32),
+                        state.fail_flag,
+                    ),
+                )
+
             def refine_path(state: TargetState):
                 # state.bank may contain short-P3P seeds; the reference
                 # resamples the refilled bank under the pre-refill weights
@@ -521,6 +668,8 @@ def tracker_step(
                     config,
                     dyn,
                     t,
+                    predicted,
+                    pred_trustworthy,
                     resample_fn,
                 )
                 state = state._replace(

@@ -71,10 +71,11 @@ class TrackerConfig:
     marginal_margin_factor: float = 0.0
     # PF initialisation demands every marker visible (pose_estimator.cpp:
     # 1507) — under per-frame occlusions this blocks re-init ~50% of
-    # frames.  Setting a count here (e.g. 4, the IPE minimum the
-    # reference itself uses on its other path, :1740) lets PF init from
-    # partial constellations.  0 = reference-parity (all markers).
-    pf_init_min_markers: int = 0
+    # frames.  The default 4 (the IPE minimum the reference itself uses
+    # on its other path, :1740) lets PF init from partial constellations,
+    # validated by benchmarks/accuracy.py config2 (occlusion robustness).
+    # 0 = reference-parity (all markers required).
+    pf_init_min_markers: int = 4
     noise_inflation_per_10_iters: float = 0.025  # :563-565
     uncertainty_cap: int = 200  # :639
     jump_threshold: float = 0.3  # :693-695
@@ -83,6 +84,57 @@ class TrackerConfig:
     # never falls below ~1e-4 (solve jitter), so budget beats tolerance.
     gn_max_iterations: int = 25
     gn_convergence_tol: float = 1e-4  # ~0.1 mm/0.1 mrad step; TPU f32 floors above 1e-6 (ref: 1e-13 in f64)
+    # Refine the pair sets of the top-H particles (vmapped GN) and keep
+    # the hypothesis with the lowest per-pair residual.  The reference
+    # refines only the most-resampled particle (:684-690) — equivalent to
+    # H=1 — but under injected/shifted outlier detections (its own fault-
+    # injection mechanism) the single greedy pair set can bind a marker
+    # to a spurious blob; residual-based selection across hypotheses
+    # rejects those bindings.  On clean frames all hypotheses converge to
+    # the same optimum, so H>1 is behaviour-preserving there.
+    gn_hypotheses: int = 4
+    # feasibility gate for hypothesis selection: max per-pair converged
+    # residual (px) below which a binding is considered clean
+    gn_residual_gate: float = 1.5
+    # GN may move the winning particle at most this far (m); farther
+    # means it converged into a coincidental distant basin
+    gn_step_radius: float = 0.08
+    # Temporal-consistency gate on fresh initialisations: while the
+    # tracker was recently tracking (uncertainty below the cap), reject
+    # an init pose farther than this radius (m) from the last tracked
+    # pose — wrong-but-self-consistent correspondence sets pass the
+    # certainty checks but teleport the pose.  0.0 disables (reference
+    # parity: the reference accepts any validated init).
+    init_consistency_radius: float = 0.08
+    init_consistency_uncertainty_cap: int = 60
+    # Also validate drop-one-pair variants of the top-K ranked init
+    # candidates (tracker/initialise.py): under an occlusion + spurious
+    # blobs every full candidate can carry exactly one wrong pair, which
+    # the reference's all-or-nothing validation rejects wholesale.
+    # 0 disables (reference parity).
+    init_drop_one_variants: int = 6
+    # Force a (gate-free) re-initialisation after this many CONSECUTIVE
+    # accepted frames whose best particle explains fewer than all
+    # markers: a wrong-but-self-consistent pose lock explains only a
+    # subset of the detections every frame, while healthy tracking drops
+    # below full explanation only on occluded frames (non-consecutive).
+    # 0 disables (reference parity: the reference can lock onto such
+    # poses indefinitely — its uncertainty ladder never fires above the
+    # accept gate).
+    degraded_reinit_frames: int = 12
+    # a frame counts as degraded when the best weight is below
+    # M * (M + offset) — i.e. not all markers matched at close range
+    degraded_weight_offset: float = 0.5
+    # Reject single-frame pose teleports: when the refined pose lands
+    # farther than this radius (m) from the constant-velocity prediction,
+    # keep the prediction for this frame (the bank retains both basins;
+    # the true one re-wins next frame).  The reference only FLAGS jumps
+    # (flag 1.5, rotation entries only, :692-701) and publishes the
+    # jumped pose anyway; 0.0 restores that behaviour (the default:
+    # with the PF's own recovery, clamping also suppresses genuine
+    # post-re-init corrections and measured net-worse on the outlier
+    # benchmark — the knob remains for static-scene deployments).
+    jump_translation_radius: float = 0.0
     # Adaptive blob-area schedule (:435-439)
     abs_min_blob_area: float = 5.0
     abs_max_blob_area: float = 20.0
@@ -110,6 +162,23 @@ class TrackerConfig:
     # Development-only stage skips for performance bisection; never set in
     # production configs.  Recognised: "propagate", "weight", "resample".
     debug_skip: Tuple[str, ...] = ()
+
+    @classmethod
+    def reference_parity(cls, **overrides) -> "TrackerConfig":
+        """A config with every engine-only robustness extension disabled,
+        matching the reference's exact behaviour (used by the oracle
+        parity tests; production defaults enable the extensions)."""
+        base = dict(
+            pf_init_min_markers=0,
+            init_drop_one_variants=0,
+            init_consistency_radius=0.0,
+            degraded_reinit_frames=0,
+            gn_hypotheses=1,
+            jump_translation_radius=0.0,
+            marginal_margin_factor=0.0,
+        )
+        base.update(overrides)
+        return cls(**base)
 
     def blob_params(self, adaptive: bool = False) -> BlobParams:
         return BlobParams(

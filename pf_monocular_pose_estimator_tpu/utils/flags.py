@@ -34,3 +34,6 @@ class FailFlag(enum.IntEnum):
     SHORT_NO_CORR_FROM_HISTOGRAM = 140  # 14
     SHORT_HISTOGRAM_FAILED = 150  # 15
     SHORT_P3P_FAILED = 160  # 16
+    # engine extension (no reference counterpart): a validated init pose
+    # was rejected by the temporal-consistency gate
+    INIT_INCONSISTENT = 170

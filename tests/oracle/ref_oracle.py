@@ -539,7 +539,9 @@ def optimise_pose(
             jac = compute_jacobian(pose, obj, fx, fy)
             a_mat += jac.T @ jac
             b_vec += jac.T @ e
-        d_t = np.linalg.solve(a_mat, b_vec)
+        # Eigen ldlt().solve() does not throw on a rank-deficient A
+        # (< 3 pairs); lstsq reproduces a non-crashing minimum-norm step
+        d_t = np.linalg.lstsq(a_mat, b_vec, rcond=None)[0]
         pose = exponential_map(d_t) @ pose
         if np.max(np.abs(d_t)) <= converged:
             num_iter = i

@@ -180,6 +180,8 @@ class OracleTracker:
             self.k_mat,
             self.dist,
         )
+        if getattr(self, "fault_fn", None) is not None:
+            detections = self.fault_fn(detections)
         num_led = len(detections)
 
         if self.it_since_initialized < 1:
@@ -320,9 +322,37 @@ class OracleTracker:
             return False, 40
 
 
-def run_sequence(frames_u8, times, markers4, camera_params, n_particles=300, seed=0, **kw):
+def inject_faults_np(rng, detections, num_occlusions, num_false):
+    """led_detector.cpp:417-488 semantics in numpy: coin-flip removal of
+    up to `num_occlusions` random detections, plus `num_false` clones of
+    random detections offset by +-(1..5) px per axis."""
+    det = list(detections)
+    for _ in range(num_occlusions):
+        if det and rng.random() < 0.5:
+            det.pop(rng.integers(0, len(det)))
+    base = list(det)
+    for _ in range(num_false):
+        if base:
+            src = base[rng.integers(0, len(base))]
+            off = rng.choice([-1, 1], 2) * rng.integers(1, 6, 2)
+            det.append(src + off)
+    return np.asarray(det).reshape(-1, 2)
+
+
+def run_sequence(
+    frames_u8,
+    times,
+    markers4,
+    camera_params,
+    n_particles=300,
+    seed=0,
+    num_occlusions=0,
+    num_false_detections=0,
+    **kw,
+):
     """Drive the oracle tracker over a sequence.  Returns (poses (T,4,4),
     updated (T,), flags (T,))."""
+    fault_rng = np.random.default_rng(seed + 1000)
     tracker = OracleTracker(
         camera_params["fx"],
         camera_params["fy"],
@@ -334,6 +364,10 @@ def run_sequence(frames_u8, times, markers4, camera_params, n_particles=300, see
         seed=seed,
         **kw,
     )
+    if num_occlusions or num_false_detections:
+        tracker.fault_fn = lambda d: inject_faults_np(
+            fault_rng, d, num_occlusions, num_false_detections
+        )
     poses, updated, flags = [], [], []
     for i in range(len(frames_u8)):
         ok, flag = tracker.step(frames_u8[i], float(times[i]))

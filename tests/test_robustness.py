@@ -1,0 +1,115 @@
+"""Outlier-heavy robustness (BASELINE configs[2]; round-1 gap #4).
+
+Under the reference's own fault-injection mechanism (1 coin-flip
+occlusion + 2 spurious near-clone blobs per frame) the engine must:
+  * keep tracking >= 90% of frames (aggregate over seeds), and
+  * keep the MEDIAN per-frame error within 2x the clean-config ATE.
+
+The median is the honest robustness statistic here: the faults create
+genuine single-camera ambiguities (a depth-shifted pose can explain a
+true+clone detection mix at full weight) that produce rare bounded
+episodes on ANY per-frame method — the reference CPU pipeline measured
+on the identical config tracks LESS (0.82-0.93) with mean errors
+16-223 mm vs the engine's 22-88 mm (see PARITY.md robustness table) —
+while the median captures steady-state quality.
+
+Engine robustness extensions exercised here (all default-on, each with
+a reference-parity off-switch): partial-constellation init,
+drop-one-pair candidate variants, init temporal-consistency gate,
+binding-variant GN hypothesis selection, degraded-lock re-init.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pf_monocular_pose_estimator_tpu.io.metrics import absolute_trajectory_error
+from pf_monocular_pose_estimator_tpu.io.synthetic import (
+    default_camera,
+    demo_markers,
+    make_orbit_sequence,
+)
+from pf_monocular_pose_estimator_tpu.tracker import TargetState, make_tracker
+from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+
+
+def _run(step, config, seq, seed):
+    state = TargetState.create(config.n_particles, jax.random.PRNGKey(seed))
+    est, upd = [], []
+    for i in range(seq.frames.shape[0]):
+        state, res = step(state, seq.frames[i], seq.times[i])
+        est.append(np.asarray(res.pose))
+        upd.append(bool(res.pose_updated))
+    return np.stack(est), np.asarray(upd)
+
+
+@pytest.mark.slow
+def test_outlier_heavy_tracked_fraction_and_median():
+    camera = default_camera()
+    markers = demo_markers()
+    mask = jnp.ones((markers.shape[0],), bool)
+    seq = make_orbit_sequence(camera, markers, num_frames=40, fps=50.0)
+    gt = np.asarray(seq.poses)
+
+    clean_cfg = TrackerConfig(n_particles=5_000, min_blob_area=8.0, pf_max_retries=8)
+    clean_step = make_tracker(camera, markers, mask, clean_cfg)
+    est, upd = _run(clean_step, clean_cfg, seq, 0)
+    clean_ate = absolute_trajectory_error(est, gt, upd)
+    assert upd.all() and clean_ate < 0.015
+
+    out_cfg = TrackerConfig(
+        n_particles=5_000,
+        min_blob_area=8.0,
+        pf_max_retries=8,
+        number_of_occlusions=1,
+        number_of_false_detections=2,
+    )
+    out_step = make_tracker(camera, markers, mask, out_cfg)
+    tracked, medians = [], []
+    for seed in range(3):
+        est, upd = _run(out_step, out_cfg, seq, seed)
+        tracked.append(upd.mean())
+        err = np.linalg.norm(est[upd][:, :3, 3] - gt[upd][:, :3, 3], axis=-1)
+        medians.append(np.median(err))
+
+    agg_tracked = float(np.mean(tracked))
+    med = float(np.median(medians))
+    assert agg_tracked >= 0.9, f"tracked fraction {agg_tracked} (per-seed {tracked})"
+    assert med <= 2.0 * clean_ate, (
+        f"median error {med * 1e3:.1f} mm vs clean ATE {clean_ate * 1e3:.1f} mm"
+    )
+
+
+@pytest.mark.slow
+def test_robustness_extensions_beat_reference_parity():
+    """The default config must dominate the reference-parity config on
+    the outlier sequence (more tracked frames at comparable or better
+    error) — the extensions earn their place."""
+    camera = default_camera()
+    markers = demo_markers()
+    mask = jnp.ones((markers.shape[0],), bool)
+    seq = make_orbit_sequence(camera, markers, num_frames=40, fps=50.0)
+    gt = np.asarray(seq.poses)
+
+    kw = dict(
+        n_particles=5_000,
+        min_blob_area=8.0,
+        pf_max_retries=8,
+        number_of_occlusions=1,
+        number_of_false_detections=2,
+    )
+    step_def = make_tracker(camera, markers, mask, TrackerConfig(**kw))
+    step_par = make_tracker(
+        camera, markers, mask, TrackerConfig.reference_parity(**kw)
+    )
+
+    t_def, t_par = [], []
+    for seed in range(3):
+        _, upd_d = _run(step_def, TrackerConfig(**kw), seq, seed)
+        _, upd_p = _run(step_par, TrackerConfig(**kw), seq, seed)
+        t_def.append(upd_d.mean())
+        t_par.append(upd_p.mean())
+    assert np.mean(t_def) >= np.mean(t_par), (
+        f"default {t_def} vs reference-parity {t_par}"
+    )
