@@ -109,6 +109,8 @@ def main(argv=None):
         pf_max_retries=args.pf_retries,
         number_of_occlusions=args.occlusions,
         number_of_false_detections=args.false_detections,
+        use_online_exposure_control=args.exposure_control,
+        expose_time_base=args.expose_time_base,
     )
     multi = args.num_targets > 1
     if multi:
@@ -135,11 +137,6 @@ def main(argv=None):
         profile_ctx = jax.profiler.trace(args.profile)
         profile_ctx.__enter__()
 
-    exposure = None
-    if args.exposure_control:
-        from ..ops.exposure import ExposureState, exposure_control
-
-        exposure = ExposureState.create(args.expose_time_base)
 
     est, upd, flags, annotated = [], [], [], []
     # Per-frame latency parity with the reference's timePoseEst /
@@ -165,17 +162,6 @@ def main(argv=None):
         else:
             upd.append(bool(res.pose_updated))
             flags.append(int(res.fail_flag))
-        if exposure is not None:
-            from ..ops.exposure import exposure_control
-
-            roi = np.asarray(res.roi).reshape(-1, 4)[0]
-            exposure = exposure_control(
-                exposure,
-                jnp.sum(res.blob_area_sum),
-                jnp.asarray(float(roi[2] * roi[3])),
-                args.expose_time_base,
-                jnp.any(res.num_detections > 0),
-            )
         if args.save_video and not multi:
             from ..io.viz import render_overlay
             from ..pf.soa import unpack
@@ -217,8 +203,8 @@ def main(argv=None):
             for k in range(args.num_targets)
         ]
 
-    if exposure is not None:
-        summary["exposure_us"] = float(exposure.exposure_us)
+    if args.exposure_control:
+        summary["exposure_us"] = float(np.asarray(res.exposure_us).reshape(-1)[0])
     if args.save_video:
         np.savez_compressed(args.save_video, frames=np.stack(annotated))
         summary["video"] = args.save_video

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..geometry.camera import Camera
+from ..ops.exposure import ExposureState
 from ..tracker.state import TargetState
 from ..tracker.step import tracker_step
 from ..utils.config import TrackerConfig
@@ -79,6 +80,7 @@ def _state_shardings(mesh: Mesh, batched: bool = False):
         change_cam_pose=small,
         time_obs_act=small,
         cam_time_shift=small,
+        exposure=ExposureState(small, small, small),
     )
 
 

@@ -122,7 +122,16 @@ def gauss_newton_refine(
 
     _, _, err0, _ = _residuals_and_normal_eqs(camera, pose0, markers_h, det_xy, corr, corr_mask)
     init = (pose0, jnp.asarray(False), jnp.zeros((), jnp.int32), err0)
-    pose, done, n_iter, _ = jax.lax.while_loop(cond, body, init)
+    if max_iterations <= 16:
+        # small budgets: fully unroll with convergence masking — a TPU
+        # while_loop costs ~35 us of sync per trip, dominating the tiny
+        # per-iteration math (one 6x6 solve); unrolled iterations fuse
+        carry = init
+        for _ in range(max_iterations):
+            carry = body(carry)
+        pose, done, n_iter, _ = carry
+    else:
+        pose, done, n_iter, _ = jax.lax.while_loop(cond, body, init)
 
     a_mat, _, err_final, max_resid = _residuals_and_normal_eqs(
         camera, pose, markers_h, det_xy, corr, corr_mask

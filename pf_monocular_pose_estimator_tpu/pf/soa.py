@@ -288,10 +288,33 @@ def _stratified_counts(cdf: jnp.ndarray, eps: jnp.ndarray, n: int) -> jnp.ndarra
     return (cnt - prev).astype(jnp.int32)
 
 
+def _searchsorted_merge_rank(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(cdf, u, side='left') for SORTED queries, scatter-free.
+
+    jnp.searchsorted(method='sort') reconstructs ranks with a scatter —
+    ~1.7 ms at N=100k on TPU v5e (the scatter serialises).  Both inputs
+    here are sorted, so the insertion points fall out of one stable
+    two-key merge sort plus an argsort for the inverse permutation
+    (sorts are fast on TPU; scatters are not): the number of cdf entries
+    before query g in the merged order is its insertion point.
+    """
+    n = cdf.shape[0]
+    m = u.shape[0]
+    vals = jnp.concatenate([cdf, u])
+    # tag 0 sorts queries BEFORE equal cdf entries -> side='left'
+    tags = jnp.concatenate(
+        [jnp.ones((n,), jnp.int32), jnp.zeros((m,), jnp.int32)]
+    )
+    iota = jnp.arange(n + m, dtype=jnp.int32)
+    _, _, perm = jax.lax.sort((vals, tags, iota), num_keys=2, is_stable=True)
+    rank = jnp.argsort(perm)  # inverse permutation via a second sort
+    return rank[n:] - jnp.arange(m, dtype=jnp.int32)
+
+
 def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
-    """Stratified resampling tuned for TPU: cumsum + one sort-based
-    searchsorted for the ancestors, closed-form counts (no scatter, no
-    scan-lowered binary searches).  Same draw semantics as
+    """Stratified resampling tuned for TPU: cumsum + a scatter-free
+    merge-rank searchsorted for the ancestors, closed-form counts (no
+    scatter, no scan-lowered binary searches).  Same draw semantics as
     pf.resample.stratified_resample."""
     n = weights.shape[0]
     total = jnp.sum(weights)
@@ -300,8 +323,6 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     cdf = jnp.cumsum(w)
     eps = jax.random.uniform(key, (n,), weights.dtype)
     u = (jnp.arange(n, dtype=weights.dtype) + eps) / n
-    ancestors = jnp.clip(
-        jnp.searchsorted(cdf, u, side="left", method="sort"), 0, n - 1
-    ).astype(jnp.int32)
+    ancestors = jnp.clip(_searchsorted_merge_rank(cdf, u), 0, n - 1).astype(jnp.int32)
     counts = _stratified_counts(cdf, eps, n)
     return ancestors, counts, jnp.argmax(counts).astype(jnp.int32)

@@ -14,6 +14,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.exposure import ExposureState
+
 
 class TargetState(NamedTuple):
     """Per-target tracker state (one reference `objectNumber`)."""
@@ -49,6 +51,10 @@ class TargetState(NamedTuple):
     change_cam_pose: jnp.ndarray  # (4,4)
     time_obs_act: jnp.ndarray  # f32
     cam_time_shift: jnp.ndarray  # f32
+    # online exposure control (led_detector.cpp:124-165, 490-512),
+    # threaded through the step so library/multi-target users get the
+    # recommendation in FrameResult.exposure_us (round-1 weak #7)
+    exposure: ExposureState
 
     @classmethod
     def create(cls, n_particles: int, key=None, image_size=(752, 480), dtype=jnp.float32):
@@ -84,6 +90,7 @@ class TargetState(NamedTuple):
             change_cam_pose=eye(),
             time_obs_act=jnp.zeros((), dtype),
             cam_time_shift=jnp.asarray(1.0, dtype),
+            exposure=ExposureState.create(),
         )
 
 
@@ -109,3 +116,4 @@ class FrameResult(NamedTuple):
     roi: jnp.ndarray  # (4,)
     best_weight: jnp.ndarray  # highest un-normalised particle weight
     blob_area_sum: jnp.ndarray  # total detected blob area (exposure ctrl)
+    exposure_us: jnp.ndarray  # current exposure recommendation

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 from ..geometry.camera import Camera, project
 from ..geometry.se3 import exp_se3, inverse, log_se3, predict_constant_velocity
 from ..ops.blob import Detections, determine_roi, find_leds, grow_roi
+from ..ops.exposure import exposure_control
 from ..ops.faults import inject_faults
 from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
@@ -832,6 +833,20 @@ def tracker_step(
     track_impl = track_branch if config.use_particle_filter else ipe_track_branch
     state, det, best_weight, used_bf = jax.lax.cond(needs_init, init_branch, track_impl, state)
 
+    # online exposure state machine (led_detector.cpp:124-165): pure
+    # state-in/state-out; the host applies result.exposure_us to its
+    # camera transport if it owns one
+    if config.use_online_exposure_control:
+        state = state._replace(
+            exposure=exposure_control(
+                state.exposure,
+                jnp.sum(det.area),
+                state.roi[2] * state.roi[3],
+                config.expose_time_base,
+                det.count > 0,
+            )
+        )
+
     result = FrameResult(
         pose=state.current_pose,
         pose_inverse=inverse(state.current_pose),
@@ -848,6 +863,7 @@ def tracker_step(
         roi=state.roi,
         best_weight=best_weight,
         blob_area_sum=jnp.sum(det.area),
+        exposure_us=state.exposure.exposure_us,
     )
     return state, result
 

@@ -59,6 +59,9 @@ class TrackerConfig:
     max_angular_noise: float = 0.02
     marker_downgrade: Tuple[bool, ...] = (False, False, False, False, False)
     use_cam_pos: bool = False
+    # online exposure control (useOnlineExposeTimeControl / expose_time_base)
+    use_online_exposure_control: bool = False
+    expose_time_base: float = 2000.0
 
     # --- promoted constants (reference hard-codes, SURVEY.md §5) ---
     pf_max_retries: int = 80  # pose_estimator.cpp:616
@@ -82,7 +85,9 @@ class TrackerConfig:
     min_num_leds_detected: int = 4  # pose_estimator.h:104
     # GN reaches the f32 noise floor in ~5 iterations; on TPU the step
     # never falls below ~1e-4 (solve jitter), so budget beats tolerance.
-    gn_max_iterations: int = 25
+    # <=16 iterations fully unrolls (no while_loop sync overhead on TPU);
+    # typical convergence is 4-10 iterations, masked past convergence
+    gn_max_iterations: int = 12
     gn_convergence_tol: float = 1e-4  # ~0.1 mm/0.1 mrad step; TPU f32 floors above 1e-6 (ref: 1e-13 in f64)
     # Refine the pair sets of the top-H particles (vmapped GN) and keep
     # the hypothesis with the lowest per-pair residual.  The reference
