@@ -149,6 +149,72 @@ def connected_components(fg: jnp.ndarray, sweeps: int) -> jnp.ndarray:
     return jax.lax.fori_loop(0, sweeps, body, labels)
 
 
+def _detect_blobs_fused(
+    img: jnp.ndarray,
+    roi: jnp.ndarray,
+    params: BlobParams,
+    min_area: jnp.ndarray,
+    max_area: jnp.ndarray,
+    interpret: bool = False,
+):
+    """Fully-fused detection: one Pallas pass produces labels + per-root
+    component statistics (area, first moments, bbox); only the top-K
+    ranking and compaction remain in XLA.  Semantics match
+    `_detect_blobs` for binary-mask centroids (parity-pinned by
+    tests/test_pallas.py); used on the fixed-size tracking crop where
+    the whole working set is VMEM-resident.
+    """
+    from .pallas_kernels import detect_stats_pallas
+
+    h, w = img.shape
+    lab, cnt, sx, sy, xmin, xmax, ymin, ymax = detect_stats_pallas(
+        img,
+        roi,
+        float(params.threshold),
+        float(params.gaussian_sigma),
+        bool(params.active_markers),
+        int(params.cc_sweeps),
+        interpret=interpret,
+    )
+    flat = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
+    is_root = lab == flat  # implies lab > 0
+    area_map = jnp.where(is_root, cnt, 0.0).reshape(-1)
+
+    k_cap = params.max_detections
+    in_range = (area_map >= min_area) & (area_map <= max_area) & (area_map > 0)
+    score = jnp.where(in_range, area_map + jnp.float32(1e6), area_map)
+    _, top_idx = jax.lax.top_k(score, k_cap)
+    valid0 = area_map[top_idx] > 0
+    comp_ids = jnp.where(valid0, top_idx.astype(jnp.int32) + 1, 0)
+
+    cntv = jnp.maximum(cnt.reshape(-1)[top_idx], 1e-9)
+    root_x = (top_idx % w).astype(jnp.float32)
+    root_y = (top_idx // w).astype(jnp.float32)
+    cx = root_x + sx.reshape(-1)[top_idx] / cntv
+    cy = root_y + sy.reshape(-1)[top_idx] / cntv
+    area = area_map[top_idx]
+    bb_w = xmax.reshape(-1)[top_idx] - xmin.reshape(-1)[top_idx] + 1.0
+    bb_h = ymax.reshape(-1)[top_idx] - ymin.reshape(-1)[top_idx] + 1.0
+
+    ratio = jnp.minimum(bb_w / bb_h, bb_h / bb_w)
+    circ_w = jnp.abs(1.0 - area / (math.pi * (bb_w / 2.0) ** 2))
+    circ_h = jnp.abs(1.0 - area / (math.pi * (bb_h / 2.0) ** 2))
+    valid = (
+        (comp_ids > 0)
+        & (area >= min_area)
+        & (area <= max_area)
+        & (jnp.abs(1.0 - ratio) <= params.max_width_height_distortion)
+        & (circ_w <= params.max_circular_distortion)
+        & (circ_h <= params.max_circular_distortion)
+    )
+    order_key = jnp.where(valid, comp_ids, jnp.iinfo(jnp.int32).max)
+    perm = jnp.argsort(order_key)
+    xy_d = jnp.stack([cx, cy], axis=-1)[perm]
+    mask = valid[perm]
+    area_s = jnp.where(mask, area[perm], 0.0)
+    return xy_d, mask, area_s
+
+
 def _detect_blobs(
     img: jnp.ndarray,
     roi: jnp.ndarray,
@@ -315,7 +381,19 @@ def find_leds(
             img_c = jax.lax.dynamic_slice(img, (cy0, cx0), (ch, cw))
             offset = jnp.stack([cx0, cy0]).astype(jnp.float32)
             roi_local = jnp.concatenate([roi[:2] - offset, roi[2:]])
-            xy_d, mask, area = _detect_blobs(img_c, roi_local, params, min_area, max_area)
+            # the crop fits VMEM: run the fully-fused Pallas front-end
+            # (threshold+blur+CC+moments in one pass); the XLA path
+            # remains for CPU and for full-frame (init) detection
+            if (
+                params.use_pallas
+                and not params.intensity_weighted_centroids
+                and jax.default_backend() != "cpu"
+            ):
+                xy_d, mask, area = _detect_blobs_fused(
+                    img_c, roi_local, params, min_area, max_area
+                )
+            else:
+                xy_d, mask, area = _detect_blobs(img_c, roi_local, params, min_area, max_area)
             return xy_d + offset[None, :], mask, area
 
         def full(_):

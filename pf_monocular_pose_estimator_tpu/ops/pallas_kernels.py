@@ -77,6 +77,157 @@ def _make_kernel(taps: np.ndarray, threshold: float, active: bool):
     return kernel
 
 
+def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps: int):
+    """Fused detection front-end: threshold -> blur -> connected-component
+    label propagation -> per-label moment/bbox accumulation, one VMEM pass.
+
+    Replaces the XLA chain of 12 reduce_window sweeps + a (K, H*W)
+    membership matmul + 4 masked min/max bbox reductions
+    (ops/blob.py:189-247) with register-resident shifts: the reference's
+    findContours + cv::moments equivalent (led_detector.cpp:72-94) as a
+    single Pallas program.
+
+    Moment trick: at each candidate root pixel p, component moments are
+    windowed same-label sums over offsets d in [-2*sweeps..0]x[-2s..2s]
+    (row-major max-label roots are bottom-right, so dy <= 0):
+        area  = sum [lab(p+d) == lab(p)]
+        m10   = x_p * area + sum [same] * dx      (x(p+d) = x_p + dx)
+    so only count / sum(dx) / sum(dy) / bbox extrema accumulate — no
+    per-label gather or matmul anywhere.
+    """
+    half = taps.size // 2
+    # A label value propagates at most 1 pixel per sweep from the pixel
+    # that owns it, so every pixel carrying label L sits within Chebyshev
+    # distance `sweeps` of L's root — converged or not.  The moment
+    # window therefore needs reach == sweeps exactly (2*sweeps would
+    # quadruple the accumulation loop for nothing).
+    reach = sweeps
+
+    def kernel(img_ref, roi_ref, lab_ref, cnt_ref, sx_ref, sy_ref,
+               xmin_ref, xmax_ref, ymin_ref, ymax_ref):
+        img = img_ref[:]
+        h, w = img.shape
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(jnp.float32)
+        x0 = roi_ref[0, 0]
+        y0 = roi_ref[0, 1]
+        rw = roi_ref[0, 2]
+        rh = roi_ref[0, 3]
+        in_roi = (xs >= x0) & (xs < x0 + rw) & (ys >= y0) & (ys < y0 + rh)
+        thr = jnp.float32(threshold)
+        if active:
+            tz = jnp.where(img > thr, img, 0.0)
+        else:
+            tz = jnp.where(img > thr, 0.0, 255.0)
+        tz = jnp.where(in_roi, tz, 0.0)
+
+        acc = jnp.zeros_like(tz)
+        for i, t in enumerate(taps.tolist()):
+            acc = acc + jnp.float32(t) * _shift2d(tz, i - half, 0)
+        blurred = jnp.zeros_like(acc)
+        for i, t in enumerate(taps.tolist()):
+            blurred = blurred + jnp.float32(t) * _shift2d(acc, 0, i - half)
+
+        fg = blurred > jnp.float32(1e-3)
+        flat = (
+            jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+            + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+            + 1
+        )
+        lab = jnp.where(fg, flat, 0)
+        for _ in range(sweeps):
+            m = lab
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy or dx:
+                        m = jnp.maximum(m, _shift2d(lab, dy, dx))
+            lab = jnp.where(fg, m, 0)
+
+        # Windowed same-label accumulation via dynamic rolls inside
+        # fori_loops (unrolling the (reach+1)x(2*reach+1) window would
+        # emit ~10k ops and blow up Mosaic compile time).  Rolls wrap,
+        # but a wrapped-in pixel belongs to a different (or no)
+        # component, so the label-equality mask rejects it.
+        big = jnp.float32(1e9)
+        zeros = jnp.zeros((h, w), jnp.float32)
+        init = (zeros, zeros, zeros, jnp.full((h, w), big), jnp.full((h, w), -big),
+                jnp.full((h, w), big), jnp.full((h, w), -big))
+
+        def dy_body(iy, carry):
+            dy = iy - reach  # dy in [-reach, 0]
+            rolled_y = pltpu.roll(lab, -dy, 0)  # rolled_y[p] = lab[p + (dy, 0)]
+
+            def dx_body(ix, carry):
+                dx = ix - reach  # dx in [-reach, reach]
+                cnt, sx, sy, xmin, xmax, ymin, ymax = carry
+                nb = pltpu.roll(rolled_y, -dx, 1)  # lab[p + (dy, dx)]
+                same = (nb == lab) & (lab > 0)
+                samef = same.astype(jnp.float32)
+                fdx = dx.astype(jnp.float32)
+                fdy = dy.astype(jnp.float32)
+                cnt = cnt + samef
+                sx = sx + fdx * samef
+                sy = sy + fdy * samef
+                xmin = jnp.where(same, jnp.minimum(xmin, fdx), xmin)
+                xmax = jnp.where(same, jnp.maximum(xmax, fdx), xmax)
+                ymin = jnp.where(same, jnp.minimum(ymin, fdy), ymin)
+                ymax = jnp.where(same, jnp.maximum(ymax, fdy), ymax)
+                return cnt, sx, sy, xmin, xmax, ymin, ymax
+
+            return jax.lax.fori_loop(0, 2 * reach + 1, dx_body, carry)
+
+        cnt, sx, sy, xmin, xmax, ymin, ymax = jax.lax.fori_loop(
+            0, reach + 1, dy_body, init
+        )
+
+        lab_ref[:] = lab
+        cnt_ref[:] = cnt
+        sx_ref[:] = sx
+        sy_ref[:] = sy
+        xmin_ref[:] = xmin
+        xmax_ref[:] = xmax
+        ymin_ref[:] = ymin
+        ymax_ref[:] = ymax
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("threshold", "sigma", "active", "sweeps", "interpret")
+)
+def detect_stats_pallas(
+    image: jnp.ndarray,
+    roi: jnp.ndarray,
+    threshold: float,
+    sigma: float,
+    active: bool = True,
+    sweeps: int = 12,
+    interpret: bool = False,
+):
+    """Fused threshold+blur+CC+moments.  Returns
+    (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax) — all (H, W);
+    component statistics are valid AT ROOT PIXELS (label == own index)."""
+    taps = _gaussian_kernel_1d(sigma)
+    kernel = _make_detect_kernel(taps, float(threshold), bool(active), int(sweeps))
+    roi_smem = roi.astype(jnp.float32).reshape(1, 4)
+    h, w = image.shape
+    f32 = jnp.float32
+    space = pl.ANY if interpret else pltpu.VMEM
+    out_shape = [jax.ShapeDtypeStruct((h, w), jnp.int32)] + [
+        jax.ShapeDtypeStruct((h, w), f32) for _ in range(7)
+    ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=space),
+            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=space) for _ in range(8)],
+        interpret=interpret,
+    )(image.astype(jnp.float32), roi_smem)
+
+
 @functools.partial(jax.jit, static_argnames=("threshold", "sigma", "active", "interpret"))
 def threshold_blur_pallas(
     image: jnp.ndarray,
@@ -98,9 +249,9 @@ def threshold_blur_pallas(
         kernel,
         out_shape=jax.ShapeDtypeStruct(image.shape, jnp.float32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,
     )(image.astype(jnp.float32), roi_smem)

@@ -122,7 +122,7 @@ def gauss_newton_refine(
 
     _, _, err0, _ = _residuals_and_normal_eqs(camera, pose0, markers_h, det_xy, corr, corr_mask)
     init = (pose0, jnp.asarray(False), jnp.zeros((), jnp.int32), err0)
-    if max_iterations <= 16:
+    if max_iterations <= 32:
         # small budgets: fully unroll with convergence masking — a TPU
         # while_loop costs ~35 us of sync per trip, dominating the tiny
         # per-iteration math (one 6x6 solve); unrolled iterations fuse

@@ -392,6 +392,15 @@ def tracker_step(
 
         def on_failure(state: TargetState):
             bump = jnp.where(enough, 1, 2)  # (:201 vs :209)
+            # a validated init rejected by the consistency gate is strong
+            # evidence the remembered pose is stale: bump hard so the
+            # gate unlatches after ~cap/reject_bump rejections instead of
+            # latching shut for tens of frames
+            bump = jnp.where(
+                init_res.flag == int(FailFlag.INIT_INCONSISTENT),
+                bump + config.init_consistency_reject_bump,
+                bump,
+            )
             return state._replace(
                 uncertainty=state.uncertainty + bump,
                 pose_updated=jnp.asarray(False),
@@ -562,6 +571,26 @@ def tracker_step(
         _, _, best_w, bank16, pairs_soa, ncorr, highest = jax.lax.while_loop(
             pf_cond, pf_body, pf_body(init_carry)
         )
+
+        if config.motion_prior_radius > 0.0:
+            # Motion-consistency prior (see utils/config.py): posterior
+            # = likelihood x soft prior on distance from the predicted
+            # pose.  Downstream consumers (accept gate, degraded-lock
+            # detector, resampler, best-particle pick) all see the
+            # posterior, so a wrong-mode lock reads as degraded and the
+            # recovery ladder breaks it.
+            trans = bank16[jnp.asarray([3, 7, 11])]  # SoA rows = T[0:3, 3]
+            d = jnp.linalg.norm(trans - predicted[:3, 3][:, None], axis=0)
+            excess = jnp.maximum(d - config.motion_prior_radius, 0.0) / (
+                config.motion_prior_falloff
+            )
+            prior = jnp.exp(-0.5 * excess * excess).astype(dtype)
+            small_step = (
+                jnp.linalg.norm(prediction[:3, 3]) < config.motion_prior_radius
+            )
+            engage = tracking & small_step
+            best_w = jnp.where(engage, best_w * prior, best_w)
+            highest = jnp.max(best_w)
 
         w_sum = jnp.sum(best_w)
         weights_norm = jnp.where(w_sum > 0, best_w / jnp.maximum(w_sum, 1e-12), best_w)

@@ -85,9 +85,11 @@ class TrackerConfig:
     min_num_leds_detected: int = 4  # pose_estimator.h:104
     # GN reaches the f32 noise floor in ~5 iterations; on TPU the step
     # never falls below ~1e-4 (solve jitter), so budget beats tolerance.
-    # <=16 iterations fully unrolls (no while_loop sync overhead on TPU);
-    # typical convergence is 4-10 iterations, masked past convergence
-    gn_max_iterations: int = 12
+    # <=32 iterations fully unrolls (no while_loop sync overhead on TPU);
+    # typical convergence is 4-10 iterations, masked past convergence.
+    # 25 (not 12): under outlier-heavy frames the extra polish iterations
+    # measurably raise the tracked fraction (tests/test_robustness.py)
+    gn_max_iterations: int = 25
     gn_convergence_tol: float = 1e-4  # ~0.1 mm/0.1 mrad step; TPU f32 floors above 1e-6 (ref: 1e-13 in f64)
     # Refine the pair sets of the top-H particles (vmapped GN) and keep
     # the hypothesis with the lowest per-pair residual.  The reference
@@ -112,6 +114,12 @@ class TrackerConfig:
     # parity: the reference accepts any validated init).
     init_consistency_radius: float = 0.08
     init_consistency_uncertainty_cap: int = 60
+    # Each rejected-as-inconsistent init bumps uncertainty by this much
+    # (on top of the ordinary failure bump): a VALIDATED init the gate
+    # refuses is itself evidence the remembered pose is stale, so the
+    # gate must unlatch after a few consecutive rejections rather than
+    # block every re-init until the slow 1-2/frame bumps cross the cap.
+    init_consistency_reject_bump: int = 20
     # Also validate drop-one-pair variants of the top-K ranked init
     # candidates (tracker/initialise.py): under an occlusion + spurious
     # blobs every full candidate can carry exactly one wrong pair, which
@@ -140,6 +148,20 @@ class TrackerConfig:
     # post-re-init corrections and measured net-worse on the outlier
     # benchmark — the knob remains for static-scene deployments).
     jump_translation_radius: float = 0.0
+    # Motion-consistency prior (engine extension): the PF weight is a
+    # pure reprojection likelihood, so a clone-fed distant mode that
+    # ties the likelihood flips the argmax frame-to-frame.  Multiplying
+    # the weights by a soft prior on distance from the predicted pose —
+    # exp(-((d - radius)/falloff)^2 / 2) beyond the radius — makes the
+    # posterior prefer the temporally continuous mode.  Engaged only on
+    # a mature track whose extrapolated step is itself below the radius
+    # (after a mode flip the const-velocity prediction is garbage and
+    # the prior disengages, letting the track snap back).  A sustained
+    # wrong lock then scores below the degraded threshold every frame
+    # and the degraded_reinit ladder breaks it.  0.0 disables
+    # (reference parity).
+    motion_prior_radius: float = 0.05
+    motion_prior_falloff: float = 0.012
     # Adaptive blob-area schedule (:435-439)
     abs_min_blob_area: float = 5.0
     abs_max_blob_area: float = 20.0
@@ -180,6 +202,7 @@ class TrackerConfig:
             degraded_reinit_frames=0,
             gn_hypotheses=1,
             jump_translation_radius=0.0,
+            motion_prior_radius=0.0,
             marginal_margin_factor=0.0,
         )
         base.update(overrides)
