@@ -116,7 +116,10 @@ def main():
     markers = demo_markers()
     mask = jnp.ones((markers.shape[0],), bool)
     config = TrackerConfig(
-        n_particles=args.particles, min_blob_area=8.0, pf_max_retries=8
+        n_particles=args.particles,
+        min_blob_area=8.0,
+        pf_max_retries=8,
+        roi_particle_subsample=128,
     )
     seq = make_orbit_sequence(camera, markers, num_frames=args.frames, fps=50.0)
     frames = jax.device_put(seq.frames)

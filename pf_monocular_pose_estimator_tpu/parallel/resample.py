@@ -15,7 +15,7 @@ vector, which is free to all-gather both the weights and the whole
      draw grid u_g = (g + eps[g]) / N · total is a pure function of a
      *replicated* PRNG key, so every shard evaluates any u_g locally
      (zero communication).  Closed-form inversion of the grid (count of
-     draws ≤ x, cf. pf/soa._stratified_counts) gives each shard the
+     draws ≤ x, see `_count_leq` below) gives each shard the
      exact number of global copies of each of its local particles, and
      `start_s = count_leq(offset_s)` gives the global output position of
      its first copy — again with no communication.

@@ -260,62 +260,22 @@ def pick_lane(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(onehot, arr, 0), axis=-1)
 
 
-def counts_from_sorted_ancestors(ancestors: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Resample counts without a scatter: stratified ancestors are sorted,
-    so counts are differences of searchsorted positions (replaces the
-    bincount scatter)."""
-    idx = jnp.arange(n)
-    right = jnp.searchsorted(ancestors, idx, side="right", method="sort")
-    left = jnp.searchsorted(ancestors, idx, side="left", method="sort")
-    return (right - left).astype(jnp.int32)
-
-
-def _stratified_counts(cdf: jnp.ndarray, eps: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Closed-form per-particle resample counts for stratified draws.
-
-    With u_i = (i + eps_i) / n, the number of draws <= x is
-    k + (eps_k <= x*n - k) where k = floor(x*n): one N-element gather and
-    elementwise math instead of a searchsorted (whose default 'scan'
-    lowering costs ~11 ms at N=100k on TPU — it dominated the whole
-    tracker step before this).
-    counts[j] = count_leq(cdf[j]) - count_leq(cdf[j-1]).
-    """
-    xn = cdf * n
-    k = jnp.clip(jnp.floor(xn).astype(jnp.int32), 0, n - 1)
-    frac = xn - k.astype(cdf.dtype)
-    cnt = jnp.clip(k + (eps[k] <= frac).astype(jnp.int32), 0, n)
-    prev = jnp.concatenate([jnp.zeros((1,), jnp.int32), cnt[:-1]])
-    return (cnt - prev).astype(jnp.int32)
-
-
-def _searchsorted_merge_rank(cdf: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """searchsorted(cdf, u, side='left') for SORTED queries, scatter-free.
-
-    jnp.searchsorted(method='sort') reconstructs ranks with a scatter —
-    ~1.7 ms at N=100k on TPU v5e (the scatter serialises).  Both inputs
-    here are sorted, so the insertion points fall out of one stable
-    two-key merge sort plus an argsort for the inverse permutation
-    (sorts are fast on TPU; scatters are not): the number of cdf entries
-    before query g in the merged order is its insertion point.
-    """
-    n = cdf.shape[0]
-    m = u.shape[0]
-    vals = jnp.concatenate([cdf, u])
-    # tag 0 sorts queries BEFORE equal cdf entries -> side='left'
-    tags = jnp.concatenate(
-        [jnp.ones((n,), jnp.int32), jnp.zeros((m,), jnp.int32)]
-    )
-    iota = jnp.arange(n + m, dtype=jnp.int32)
-    _, _, perm = jax.lax.sort((vals, tags, iota), num_keys=2, is_stable=True)
-    rank = jnp.argsort(perm)  # inverse permutation via a second sort
-    return rank[n:] - jnp.arange(m, dtype=jnp.int32)
-
-
 def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
-    """Stratified resampling tuned for TPU: cumsum + a scatter-free
-    merge-rank searchsorted for the ancestors, closed-form counts (no
-    scatter, no scan-lowered binary searches).  Same draw semantics as
-    pf.resample.stratified_resample."""
+    """Stratified resampling tuned for TPU: one merged two-key sort plus
+    one stable tag sort yield BOTH the ancestors and the per-particle
+    counts — no scatter, no scan-lowered binary search, and no 1-D
+    gather (``eps[k]`` in the closed-form counts cost ~0.6 ms at N=100k:
+    TPU lane gathers serialise).  Same draw semantics as
+    pf.resample.stratified_resample.
+
+    Scheme: merge-sort [u, cdf] ascending with queries (tag 0) before
+    equal cdf entries (side='left').  In merged order, the inclusive
+    cumsum of tags counts cdf entries so far — its value at query q IS
+    searchsorted(cdf, u_q); the complementary count at cdf entry j is
+    count_draws_leq(cdf_j), whose first difference is counts[j].  A
+    stable sort by tag then compacts queries (in draw order) to the
+    front and cdf entries (in particle order) to the back.
+    """
     n = weights.shape[0]
     total = jnp.sum(weights)
     safe = jnp.where(total > 0, total, 1.0)
@@ -323,6 +283,18 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     cdf = jnp.cumsum(w)
     eps = jax.random.uniform(key, (n,), weights.dtype)
     u = (jnp.arange(n, dtype=weights.dtype) + eps) / n
-    ancestors = jnp.clip(_searchsorted_merge_rank(cdf, u), 0, n - 1).astype(jnp.int32)
-    counts = _stratified_counts(cdf, eps, n)
+
+    vals = jnp.concatenate([u, cdf])
+    tags = jnp.concatenate(
+        [jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)]
+    )
+    _, sorted_tags = jax.lax.sort((vals, tags), num_keys=2, is_stable=True)
+    c_incl = jnp.cumsum(sorted_tags)  # cdf entries so far (inclusive)
+    q_incl = jnp.arange(1, 2 * n + 1, dtype=jnp.int32) - c_incl
+    _, c2, q2 = jax.lax.sort(
+        (sorted_tags, c_incl.astype(jnp.int32), q_incl), num_keys=1, is_stable=True
+    )
+    ancestors = jnp.clip(c2[:n], 0, n - 1).astype(jnp.int32)
+    draws_leq = q2[n:]  # draws at or before cdf[j], inclusive
+    counts = (draws_leq - jnp.concatenate([jnp.zeros((1,), jnp.int32), draws_leq[:-1]])).astype(jnp.int32)
     return ancestors, counts, jnp.argmax(counts).astype(jnp.int32)
