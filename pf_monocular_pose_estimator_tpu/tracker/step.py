@@ -31,6 +31,7 @@ from ..ops.exposure import exposure_control
 from ..ops.faults import inject_faults
 from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
+from ..pf.pallas_weight import weight_particles_pallas
 from ..pf.soa import (
     gather_soa,
     pick_lane,
@@ -532,7 +533,13 @@ def tracker_step(
                 )
                 ncorr = jnp.full((n,), m_cap, jnp.int32)
             else:
-                w, pairs_soa, ncorr = weight_particles_soa(
+                use_pallas_w = (
+                    config.use_pallas_weight and jax.default_backend() != "cpu"
+                )
+                weight_fn = (
+                    weight_particles_pallas if use_pallas_w else weight_particles_soa
+                )
+                w, pairs_soa, ncorr = weight_fn(
                     camera,
                     bank16,
                     markers_h,

@@ -59,6 +59,11 @@ class TrackerConfig:
     max_angular_noise: float = 0.02
     marker_downgrade: Tuple[bool, ...] = (False, False, False, False, False)
     use_cam_pos: bool = False
+    # fused Pallas PF weight kernel on TPU (pf/pallas_weight.py); the
+    # XLA SoA path remains for CPU and for GSPMD-sharded banks (the
+    # sharded constructors in parallel/mesh.py force this off — a
+    # pallas_call can't be auto-partitioned over the particles axis)
+    use_pallas_weight: bool = True
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
     expose_time_base: float = 2000.0
