@@ -85,7 +85,18 @@ def attribute(trace_path, hlo_text, n_frames):
         agg[label or "other elementwise/fusion"] += e["dur"]
         loc = src.get(e["name"], "")
         named[(e["name"], f"{loc:24s} {path[-70:]}")] += e["dur"]
+    # containers: their duration INCLUDES inter-op scheduling gaps, so
+    # container_dur - sum(child leaf dur) localises the non-leaf time
+    containers = collections.Counter()
+    for e in ops:
+        if e["name"].startswith(("while.", "conditional.")):
+            containers[e["name"]] += e["dur"]
+    print("top containers (incl. scheduling gaps):")
+    for name, us in containers.most_common(10):
+        print(f"  {us / n_frames:8.1f} us/frame  {name}")
+
     total = sum(agg.values())
+    print(f"leaf ops: {len(leaves)} events")
     print(f"leaf total: {total / n_frames / 1000:.2f} ms/frame")
     for lab, us in agg.most_common():
         print(f"  {us / n_frames:8.1f} us/frame  {us / total * 100:5.1f}%  {lab}")

