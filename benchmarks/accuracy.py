@@ -97,14 +97,22 @@ def main():
     report["config1_10k"] = run_single(
         camera, markers, dataclasses.replace(base, n_particles=10_000), seq
     )
-    report["config2_50k_outliers"] = run_single(
-        camera,
-        markers,
-        dataclasses.replace(
-            base, n_particles=50_000, number_of_occlusions=1, number_of_false_detections=2
-        ),
-        seq,
+    # fault patterns are PRNG-seeded, so a single seed's tracked
+    # fraction is high-variance; average three seeds
+    cfg2 = dataclasses.replace(
+        base, n_particles=50_000, number_of_occlusions=1, number_of_false_detections=2
     )
+    runs2 = [run_single(camera, markers, cfg2, seq, seed=s) for s in range(3)]
+    report["config2_50k_outliers"] = {
+        "seeds": 3,
+        "tracked_fraction_mean": round(
+            sum(r["tracked_fraction"] for r in runs2) / 3, 3
+        ),
+        "median_err_mm_mean": round(
+            sum(r["median_err_mm"] for r in runs2) / 3, 3
+        ),
+        "per_seed": runs2,
+    }
 
     # config3: 4 targets, 25k particles each
     import jax.numpy as jnp

@@ -104,6 +104,20 @@ def attribute(trace_path, hlo_text, n_frames):
     for (name, path), us in named.most_common(18):
         print(f"  {us / n_frames:8.1f} us/frame  {name:32s} {path}")
 
+    # op-COUNT by source location: each leaf event carries ~0.5-1 us of
+    # fixed issue overhead, so the event count localises the
+    # "non-leaf gap" (wall - leaf total) better than durations do
+    counts = collections.Counter()
+    loc_us = collections.Counter()
+    for e in leaves:
+        loc = src.get(e["name"], "(no src)")
+        counts[loc] += 1
+        loc_us[loc] += e["dur"]
+    print(f"\nleaf events by source location (total {len(leaves)}, "
+          f"{len(leaves) / n_frames:.0f}/frame):")
+    for loc, cnt in counts.most_common(18):
+        print(f"  {cnt / n_frames:7.1f} ev/frame  {loc_us[loc] / n_frames:7.1f} us/frame  {loc}")
+
 
 def main():
     ap = argparse.ArgumentParser()
