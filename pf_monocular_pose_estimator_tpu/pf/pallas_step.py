@@ -293,3 +293,33 @@ def fused_propagate_weight_pallas(
     bank_out, w, pairs2, ncorr = outs
     pairs_soa = pairs2.reshape(m_cap, 2, n)
     return bank_out, w[0], pairs_soa, ncorr[0]
+
+
+def _pin_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def bank_layout_pin(bank16: jnp.ndarray, block: int = 8192) -> jnp.ndarray:
+    """Identity copy through a Pallas call to pin the default {1,0}
+    (lanes-minor) layout on a (R, N) bank.
+
+    XLA's layout assignment prefers the transposed {0,1} layout for the
+    operand/result of a lane-axis gather (the resampling ``jnp.take``),
+    and propagates it through every select/cond/while the bank crosses.
+    Physically {0,1} tiles (16, N) as (N, 16) rows padded to 128 lanes —
+    an 8x memory inflation paid by every copy of the bank (measured
+    ~160 us per bank copy at N=100k on v5e).  Mosaic custom-calls only
+    accept default layouts, so routing the gather result through this
+    no-op confines {0,1} to the gather itself; the conversion happens
+    once, in this kernel's operand fetch.
+    """
+    r, n = bank16.shape
+    block = min(block, ((n + 127) // 128) * 128)
+    return pl.pallas_call(
+        _pin_kernel,
+        grid=(pl.cdiv(n, block),),
+        in_specs=[pl.BlockSpec((r, block), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((r, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((r, n), bank16.dtype),
+    )(bank16)

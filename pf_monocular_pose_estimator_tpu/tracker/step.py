@@ -32,7 +32,7 @@ from ..ops.faults import inject_faults
 from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
 from ..pf.pallas_weight import weight_particles_pallas
-from ..pf.pallas_step import fused_propagate_weight_pallas
+from ..pf.pallas_step import bank_layout_pin, fused_propagate_weight_pallas
 from ..pf.weight import weight_particles
 from ..pf.soa import (
     gather_soa,
@@ -156,6 +156,10 @@ def _resample_and_refine(
     else:
         anc, counts, most = stratified_resample_soa(key, weights_norm)
         resampled16 = gather_soa(bank16, anc)
+        if jax.default_backend() != "cpu":
+            # confine the gather's transposed-layout preference (see
+            # pf.pallas_step.bank_layout_pin) to the gather itself
+            resampled16 = bank_layout_pin(resampled16)
 
     dtype = bank16.dtype
     pre_gn = pick_lane(bank16, most).reshape(4, 4)

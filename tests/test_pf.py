@@ -324,3 +324,32 @@ def test_gauss_newton_vmappable(camera, markers):
     np.testing.assert_allclose(
         np.asarray(out), np.broadcast_to(np.asarray(pose_gt), (8, 4, 4)), atol=5e-3
     )
+
+
+def test_solve6_spd_matches_f64_lu():
+    """Closed-form blocked-Schur 6x6 solve vs numpy's f64 LU on
+    realistically-conditioned GN normal matrices."""
+    from pf_monocular_pose_estimator_tpu.pf.refine import inv6_spd, solve6_spd
+
+    rng = np.random.default_rng(7)
+    mats, vecs = [], []
+    for _ in range(64):
+        c = int(rng.integers(4, 9))
+        jac = rng.normal(0, 1, (c, 2, 6))
+        jac[..., 0:3] *= 420.0 / rng.uniform(0.5, 3.0)
+        jac[..., 3:6] *= 420.0
+        mats.append(np.einsum("cri,crj->ij", jac, jac) + 1e-8 * np.eye(6))
+        vecs.append(rng.normal(0, 420.0, 6))
+    a = jnp.asarray(np.stack(mats), jnp.float32)
+    b = jnp.asarray(np.stack(vecs), jnp.float32)
+    x = np.asarray(jax.vmap(solve6_spd)(a, b))
+    x_ref = np.stack(
+        [np.linalg.solve(m.astype(np.float64), v) for m, v in zip(mats, vecs)]
+    )
+    rel = np.linalg.norm(x - x_ref, axis=-1) / np.linalg.norm(x_ref, axis=-1)
+    assert rel.max() < 1e-3, rel.max()
+
+    inv = np.asarray(jax.vmap(inv6_spd)(a))
+    inv_ref = np.stack([np.linalg.inv(m.astype(np.float64)) for m in mats])
+    rel_i = np.abs(inv - inv_ref).max(axis=(-2, -1)) / np.abs(inv_ref).max(axis=(-2, -1))
+    assert rel_i.max() < 1e-3, rel_i.max()
