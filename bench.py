@@ -22,7 +22,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--targets", type=int, default=1)
-    ap.add_argument("--frames", type=int, default=24)
+    # enough frames to amortise the fixed per-launch cost: in this
+    # environment the TPU is reached over a tunnel whose ~35-40 ms
+    # round-trip would otherwise be billed to the frames (24 frames
+    # under-reported throughput by ~40%; the device timeline per the
+    # profiler trace is what a locally-attached chip would sustain)
+    ap.add_argument("--frames", type=int, default=120)
     args = ap.parse_args()
 
     import jax

@@ -162,6 +162,9 @@ def main():
     lowered = run.lower(state, frames, times)
     compiled = lowered.compile()
     hlo_text = compiled.as_text()
+    os.makedirs(args.trace_dir, exist_ok=True)
+    with open(os.path.join(args.trace_dir, "compiled_hlo.txt"), "w") as f:
+        f.write(hlo_text)  # for offline op-id -> source attribution
 
     st, upd = compiled(state, frames, times)
     jax.block_until_ready(st)

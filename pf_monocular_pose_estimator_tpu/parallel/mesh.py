@@ -121,7 +121,7 @@ def make_sharded_tracker(
     # axis; the XLA SoA paths partition cleanly (elementwise +
     # per-shard reductions), so the sharded step always uses them
     config = dataclasses.replace(
-        config, use_pallas_weight=False, use_fused_pf_kernel=False
+        config, use_pallas_weight=False, use_fused_pf_kernel=False, use_pallas_gn=False
     )
     specs = _state_shardings(mesh)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
@@ -161,7 +161,7 @@ def make_sharded_multi_tracker(
     markers_h = jnp.asarray(markers_h)
     marker_masks = jnp.asarray(marker_masks, bool)
     config = dataclasses.replace(
-        config, use_pallas_weight=False, use_fused_pf_kernel=False
+        config, use_pallas_weight=False, use_fused_pf_kernel=False, use_pallas_gn=False
     )
     specs = _state_shardings(mesh, batched=True)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)

@@ -32,7 +32,7 @@ class InitResult(NamedTuple):
     flag: jnp.ndarray  # int32 FailFlag
 
 
-def _fill_bank_with_seeds(bank16, seeds, seed_mask):
+def _fill_bank_with_seeds(bank16, seeds, seed_mask, allow_pallas: bool = True):
     """Fill bank slots [1..N-1] by cycling valid seeds (slot 0 keeps the
     current pose), reproducing :1756-1760; unchanged if no seeds.
 
@@ -45,7 +45,17 @@ def _fill_bank_with_seeds(bank16, seeds, seed_mask):
     idx = jnp.arange(n)
     pick = seeds16[:, jnp.where(n_seeds > 0, (n - 1 - idx) % jnp.maximum(n_seeds, 1), 0)]
     use = (idx > 0) & (n_seeds > 0)
-    return jnp.where(use[None, :], pick, bank16)
+    out = jnp.where(use[None, :], pick, bank16)
+    if allow_pallas and jax.default_backend() != "cpu":
+        # this bank-wide lane gather is the rare-branch sibling of the
+        # resampling gather: without the pin its {0,1} layout preference
+        # leaks into the tracker cond signature and the scan carry, and
+        # the HOT path then pays ~300 us/frame of 8x-inflated layout
+        # copies even on frames where this branch never executes
+        from ..pf.pallas_step import bank_layout_pin
+
+        out = bank_layout_pin(out)
+    return out
 
 
 def initialise(
@@ -56,7 +66,15 @@ def initialise(
     bank: jnp.ndarray,
     config: TrackerConfig,
     dyn: DynamicParams | None = None,
+    prefer_near: jnp.ndarray | None = None,
 ) -> InitResult:
+    """prefer_near: optional (4,) [x, y, z, active] — when active > 0,
+    a validated candidate within `init_consistency_radius` of this
+    translation is preferred over the histogram-rank-first one.  Under
+    spurious near-clone blobs the TOP validated candidate is often a
+    wrong-but-self-consistent basin; the temporal gate (tracker/step.py)
+    would veto it and lose the frame even though a consistent validated
+    candidate sat one rank lower."""
     if dyn is None:
         dyn = DynamicParams.from_config(config)
     m_cap = markers_h.shape[0]
@@ -123,6 +141,14 @@ def initialise(
     any_success = jnp.any(cand_success)
     # first (highest-probability) validated candidate (:1746-1751)
     first = jnp.argmax(cand_success)
+    if prefer_near is not None and config.init_consistency_radius > 0.0:
+        t_err = jnp.linalg.norm(
+            results.pose[:, :3, 3] - prefer_near[None, :3], axis=-1
+        )
+        consistent = (
+            cand_success & (t_err <= config.init_consistency_radius)
+        ) & (prefer_near[3] > 0)
+        first = jnp.where(jnp.any(consistent), jnp.argmax(consistent), first)
     pose = results.pose[first]
     det_for_marker = cand_dfm[first]
 
@@ -140,7 +166,7 @@ def initialise(
     seed_mask = seed_mask[order][:s_cap]
     new_bank = jax.lax.cond(
         any_success,
-        lambda: _fill_bank_with_seeds(bank, seeds, seed_mask),
+        lambda: _fill_bank_with_seeds(bank, seeds, seed_mask, config.use_fused_pf_kernel),
         lambda: bank,
     )
 

@@ -32,6 +32,7 @@ from ..ops.faults import inject_faults
 from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
 from ..pf.pallas_weight import weight_particles_pallas
+from ..pf.pallas_refine import gauss_newton_refine_pallas
 from ..pf.pallas_step import bank_layout_pin, fused_propagate_weight_pallas
 from ..pf.weight import weight_particles
 from ..pf.soa import (
@@ -155,11 +156,16 @@ def _resample_and_refine(
         resampled16, most = out.resampled, out.most
     else:
         anc, counts, most = stratified_resample_soa(key, weights_norm)
-        resampled16 = gather_soa(bank16, anc)
         if jax.default_backend() != "cpu":
             # confine the gather's transposed-layout preference (see
-            # pf.pallas_step.bank_layout_pin) to the gather itself
-            resampled16 = bank_layout_pin(resampled16)
+            # pf.pallas_step.bank_layout_pin) to the gather itself:
+            # pinning BOTH sides lets XLA run the gather in its fast
+            # {0,1} row-major form (contiguous 64 B row reads) while the
+            # conversions stay local instead of propagating {0,1}
+            # through every cond/while the bank crosses
+            resampled16 = bank_layout_pin(gather_soa(bank_layout_pin(bank16), anc))
+        else:
+            resampled16 = gather_soa(bank16, anc)
 
     dtype = bank16.dtype
     pre_gn = pick_lane(bank16, most).reshape(4, 4)
@@ -214,20 +220,28 @@ def _resample_and_refine(
         drop_h = jnp.where(eye_m, -1, dfm_base[None, :])  # (M, M)
         dfm_h = jnp.concatenate([dfm_base[None], swap_h, drop_h], axis=0)
 
-    corrs = jnp.concatenate(
-        [
-            jnp.broadcast_to(marker_ids[None, :, None], (*dfm_h.shape, 1)),
-            dfm_h[..., None],
-        ],
-        axis=-1,
-    ).astype(jnp.int32)  # (H, M, 2)
     corr_masks = (dfm_h >= 0) & marker_mask[None, :]  # (H, M)
-    res = jax.vmap(
-        lambda c, cm: gauss_newton_refine(
-            camera, pre_gn, markers_h, det.xy, c, cm,
+    if config.use_pallas_gn and jax.default_backend() != "cpu":
+        res = gauss_newton_refine_pallas(
+            camera,
+            jnp.broadcast_to(pre_gn[None], (dfm_h.shape[0], 4, 4)),
+            markers_h, det.xy, dfm_h.astype(jnp.int32), corr_masks,
             config.gn_max_iterations, config.gn_convergence_tol,
         )
-    )(corrs, corr_masks)
+    else:
+        corrs = jnp.concatenate(
+            [
+                jnp.broadcast_to(marker_ids[None, :, None], (*dfm_h.shape, 1)),
+                dfm_h[..., None],
+            ],
+            axis=-1,
+        ).astype(jnp.int32)  # (H, M, 2)
+        res = jax.vmap(
+            lambda c, cm: gauss_newton_refine(
+                camera, pre_gn, markers_h, det.xy, c, cm,
+                config.gn_max_iterations, config.gn_convergence_tol,
+            )
+        )(corrs, corr_masks)
     # selection: a hypothesis is FEASIBLE when every pair's converged
     # residual is below the gate (true bindings land sub-pixel; a
     # clone/wrong binding leaves one pair at 2-5 px).  Among feasible
@@ -367,8 +381,20 @@ def tracker_step(
         enough = det.count >= init_needed
 
         def do_init(_):
+            # prefer a validated candidate consistent with the recently
+            # tracked pose (see initialise's prefer_near) — same context
+            # as the temporal gate below
+            prev_t = state.current_pose[:3, 3]
+            gate_active = (
+                (jnp.linalg.norm(prev_t) > 1e-6)
+                & (state.uncertainty < config.init_consistency_uncertainty_cap)
+            )
+            prefer = jnp.concatenate(
+                [prev_t, gate_active.astype(dtype)[None]]
+            )
             return initialise(
-                camera, det, markers_h, marker_mask, state.bank, config, dyn
+                camera, det, markers_h, marker_mask, state.bank, config, dyn,
+                prefer_near=prefer,
             )
 
         def no_init(_):

@@ -69,6 +69,10 @@ class TrackerConfig:
     # jax.random draws as the XLA path (uniforms pre-drawn outside).
     # Forced off by the sharded constructors alongside use_pallas_weight.
     use_fused_pf_kernel: bool = True
+    # batched Pallas GN refinement (pf/pallas_refine.py): all hypotheses
+    # and iterations in one dispatch instead of an unrolled ~70-op/iter
+    # XLA body (~800 us/frame of issue overhead at the default budget)
+    use_pallas_gn: bool = True
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
     expose_time_base: float = 2000.0

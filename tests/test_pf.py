@@ -353,3 +353,45 @@ def test_solve6_spd_matches_f64_lu():
     inv_ref = np.stack([np.linalg.inv(m.astype(np.float64)) for m in mats])
     rel_i = np.abs(inv - inv_ref).max(axis=(-2, -1)) / np.abs(inv_ref).max(axis=(-2, -1))
     assert rel_i.max() < 1e-3, rel_i.max()
+
+
+def test_pallas_gn_matches_xla_gn(camera, markers):
+    """Batched Pallas GN kernel (interpret mode) vs the XLA reference
+    implementation: same poses, iteration counts, errors and covariance."""
+    from pf_monocular_pose_estimator_tpu.pf.pallas_refine import (
+        gauss_newton_refine_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    pose_gt = exp_se3(jnp.asarray([0.02, -0.01, 1.5, 0.1, -0.05, 0.3], jnp.float32))
+    det = project(camera, pose_gt, markers) + jnp.asarray(
+        rng.normal(0, 0.3, (markers.shape[0], 2)), jnp.float32
+    )
+    b = 11
+    m = markers.shape[0]
+    perturbs = jnp.asarray(rng.normal(size=(b, 6)) * 0.02, jnp.float32)
+    poses0 = jax.vmap(lambda t: exp_se3(t) @ pose_gt)(perturbs)
+    dfm = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None], (b, m))
+    dfm = dfm.at[3, 2].set(-1)  # one dropped pair
+    mask = dfm >= 0
+    corrs = jnp.concatenate(
+        [jnp.broadcast_to(jnp.arange(m)[None, :, None], (b, m, 1)), dfm[..., None]],
+        -1,
+    ).astype(jnp.int32)
+    ref = jax.vmap(
+        lambda p, c, cm: gauss_newton_refine(camera, p, markers, det, c, cm, 25, 1e-4)
+    )(poses0, corrs, mask)
+    out = gauss_newton_refine_pallas(
+        camera, poses0, markers, det, dfm, mask, 25, 1e-4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out.pose), np.asarray(ref.pose), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(out.num_iterations), np.asarray(ref.num_iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.max_residual), np.asarray(ref.max_residual), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.covariance), np.asarray(ref.covariance), rtol=1e-2, atol=1e-4
+    )
+    assert bool(jnp.all(out.converged == ref.converged))
