@@ -213,3 +213,40 @@ def test_tracker_end_to_end_synthetic(camera, markers):
     oe = orientation_error_deg(est, gt, mask)
     assert ate < 0.01, f"ATE {ate*1000:.1f} mm too large (flags={flags})"
     assert oe < 1.5, f"orientation error {oe:.2f} deg too large"
+
+
+def test_initialise_prefer_near_gate_semantics(camera, markers, config):
+    """prefer_near (consistency-aware candidate selection): with the
+    active flag OFF the result is bit-identical to prefer_near=None;
+    with the flag ON at the true pose, the selected candidate stays
+    validated and consistent; pointed far away with no consistent
+    candidate it falls back to the rank-first choice."""
+    pose = gt_pose()
+    det = perfect_detections(camera, pose, markers, permute=np.array([4, 2, 0, 1, 3]))
+    from pf_monocular_pose_estimator_tpu.pf.soa import identity_bank16
+
+    bank = identity_bank16(config.n_particles)
+    base = initialise(camera, det, markers, jnp.ones(5, bool), bank, config)
+
+    t_gt = np.asarray(pose)[:3, 3]
+    inactive = jnp.asarray([*t_gt, 0.0], jnp.float32)
+    off = initialise(
+        camera, det, markers, jnp.ones(5, bool), bank, config, prefer_near=inactive
+    )
+    np.testing.assert_array_equal(np.asarray(base.pose), np.asarray(off.pose))
+
+    at_truth = jnp.asarray([*t_gt, 1.0], jnp.float32)
+    near = initialise(
+        camera, det, markers, jnp.ones(5, bool), bank, config, prefer_near=at_truth
+    )
+    assert bool(near.success)
+    assert (
+        np.linalg.norm(np.asarray(near.pose)[:3, 3] - t_gt)
+        <= config.init_consistency_radius
+    )
+
+    far = jnp.asarray([10.0, 10.0, 10.0, 1.0], jnp.float32)
+    fallback = initialise(
+        camera, det, markers, jnp.ones(5, bool), bank, config, prefer_near=far
+    )
+    np.testing.assert_array_equal(np.asarray(base.pose), np.asarray(fallback.pose))
