@@ -20,10 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-N = 1 << 20  # lanes
+N = 1 << 18  # lanes (larger arrays stalled the tunneled chip's claim path)
 ROWS = 8
 DEPTH = 64  # chained ops per scan step
-ITERS = 30
+ITERS = 20
 
 
 def bench(name, step_fn, flops_per_elem):
@@ -35,6 +35,7 @@ def bench(name, step_fn, flops_per_elem):
         y, _ = jax.lax.scan(body, x, None, length=ITERS)
         return y
 
+    print(f"compiling {name}...", flush=True)
     x = jnp.ones((ROWS, N), jnp.float32) * 1.000001
     r = run(x)
     jax.block_until_ready(r)
@@ -65,6 +66,6 @@ def minsel_chain(x):
 
 
 if __name__ == "__main__":
-    print(f"device: {jax.devices()[0].device_kind}, array (8, {N}) f32")
+    print(f"device: {jax.devices()[0].device_kind}, array (8, {N}) f32", flush=True)
     bench("FMA chain (2 flops/op)", fma_chain, 2 * DEPTH)
     bench("compare+select chain", minsel_chain, 2 * (DEPTH // 2))

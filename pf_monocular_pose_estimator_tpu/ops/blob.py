@@ -63,6 +63,19 @@ class BlobParams(NamedTuple):
     # instead of the full frame (the reference detects only inside the
     # ROI, led_detector.cpp:58 image(ROI)); (h, w) or None to disable.
     roi_crop: tuple | None = (192, 256)
+    # Merged-blob splitting (engine extension; the reference drops
+    # oversized contours entirely, led_detector.cpp:98): when two LEDs
+    # merge into one component the area filter would reject it and the
+    # tracker starves of detections exactly on the close-projection
+    # frames where it needs them.  A component that is oversized
+    # (area > max_blob_area, up to split_max_factor x) AND elongated
+    # (principal/secondary variance >= split_min_elongation) is emitted
+    # as TWO detections at the centroid +- the principal axis scaled by
+    # sqrt(lambda_max - lambda_min) (the half-separation of two merged
+    # discs).  Round oversized glare is still rejected.
+    split_merged: bool = True
+    split_max_factor: float = 2.5
+    split_min_elongation: float = 1.5
 
 
 class Detections(NamedTuple):
@@ -149,6 +162,75 @@ def connected_components(fg: jnp.ndarray, sweeps: int) -> jnp.ndarray:
     return jax.lax.fori_loop(0, sweeps, body, labels)
 
 
+def _split_and_compact(
+    params: BlobParams,
+    comp_ids,
+    cx,
+    cy,
+    area,
+    valid,
+    var_xx,
+    var_yy,
+    var_xy,
+    min_area,
+    max_area,
+):
+    """Shared tail of both detection paths: optionally split oversized
+    elongated components into two child detections (see BlobParams.
+    split_merged), then compact valid detections to the front in
+    component-id (scan) order."""
+    imax = jnp.iinfo(jnp.int32).max
+    if not params.split_merged:
+        order_key = jnp.where(valid, comp_ids, imax)
+        perm = jnp.argsort(order_key)
+        xy_d = jnp.stack([cx, cy], axis=-1)[perm]
+        mask = valid[perm]
+        return xy_d, mask, jnp.where(mask, area[perm], 0.0)
+
+    # principal axes of the per-component pixel covariance
+    tr = var_xx + var_yy
+    diff = var_xx - var_yy
+    disc = jnp.sqrt(jnp.maximum(diff * diff + 4.0 * var_xy * var_xy, 0.0))
+    lam_max = 0.5 * (tr + disc)
+    lam_min = jnp.maximum(0.5 * (tr - disc), 1e-6)
+    half = area * 0.5
+    split_ok = (
+        (comp_ids > 0)
+        & (area > max_area)
+        & (area <= params.split_max_factor * max_area)
+        & (lam_max / lam_min >= params.split_min_elongation)
+        & (half >= min_area)
+        & (half <= max_area)
+    )
+    # eigenvector of lam_max: (v_xy, lam_max - v_xx); axis-aligned fallback
+    degen = jnp.abs(var_xy) <= 1e-9
+    ux = jnp.where(degen, jnp.where(diff >= 0, 1.0, 0.0), var_xy)
+    uy = jnp.where(degen, jnp.where(diff >= 0, 0.0, 1.0), lam_max - var_xx)
+    norm = jnp.sqrt(jnp.maximum(ux * ux + uy * uy, 1e-12))
+    off = jnp.sqrt(jnp.maximum(lam_max - lam_min, 0.0))  # half-separation
+    ox = ux / norm * off
+    oy = uy / norm * off
+
+    p_valid = valid | split_ok
+    p_x = jnp.where(split_ok, cx + ox, cx)
+    p_y = jnp.where(split_ok, cy + oy, cy)
+    p_area = jnp.where(split_ok, half, area)
+    keys = jnp.concatenate(
+        [
+            jnp.where(p_valid, comp_ids * 2, imax),
+            jnp.where(split_ok, comp_ids * 2 + 1, imax),
+        ]
+    )
+    xs_all = jnp.concatenate([p_x, cx - ox])
+    ys_all = jnp.concatenate([p_y, cy - oy])
+    areas_all = jnp.concatenate([p_area, half])
+    valid_all = jnp.concatenate([p_valid, split_ok])
+    perm = jnp.argsort(keys)[: comp_ids.shape[0]]
+    xy_d = jnp.stack([xs_all[perm], ys_all[perm]], axis=-1)
+    mask = valid_all[perm]
+    return xy_d, mask, jnp.where(mask, areas_all[perm], 0.0)
+
+
 def _detect_blobs_fused(
     img: jnp.ndarray,
     roi: jnp.ndarray,
@@ -167,7 +249,7 @@ def _detect_blobs_fused(
     from .pallas_kernels import detect_stats_pallas
 
     h, w = img.shape
-    lab, cnt, sx, sy, xmin, xmax, ymin, ymax = detect_stats_pallas(
+    lab, cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = detect_stats_pallas(
         img,
         roi,
         float(params.threshold),
@@ -190,9 +272,15 @@ def _detect_blobs_fused(
     cntv = jnp.maximum(cnt.reshape(-1)[top_idx], 1e-9)
     root_x = (top_idx % w).astype(jnp.float32)
     root_y = (top_idx // w).astype(jnp.float32)
-    cx = root_x + sx.reshape(-1)[top_idx] / cntv
-    cy = root_y + sy.reshape(-1)[top_idx] / cntv
+    mean_dx = sx.reshape(-1)[top_idx] / cntv
+    mean_dy = sy.reshape(-1)[top_idx] / cntv
+    cx = root_x + mean_dx
+    cy = root_y + mean_dy
     area = area_map[top_idx]
+    # pixel covariance from root-relative offsets
+    var_xx = sxx.reshape(-1)[top_idx] / cntv - mean_dx * mean_dx
+    var_yy = syy.reshape(-1)[top_idx] / cntv - mean_dy * mean_dy
+    var_xy = sxy.reshape(-1)[top_idx] / cntv - mean_dx * mean_dy
     bb_w = xmax.reshape(-1)[top_idx] - xmin.reshape(-1)[top_idx] + 1.0
     bb_h = ymax.reshape(-1)[top_idx] - ymin.reshape(-1)[top_idx] + 1.0
 
@@ -207,12 +295,10 @@ def _detect_blobs_fused(
         & (circ_w <= params.max_circular_distortion)
         & (circ_h <= params.max_circular_distortion)
     )
-    order_key = jnp.where(valid, comp_ids, jnp.iinfo(jnp.int32).max)
-    perm = jnp.argsort(order_key)
-    xy_d = jnp.stack([cx, cy], axis=-1)[perm]
-    mask = valid[perm]
-    area_s = jnp.where(mask, area[perm], 0.0)
-    return xy_d, mask, area_s
+    return _split_and_compact(
+        params, comp_ids, cx, cy, area, valid, var_xx, var_yy, var_xy,
+        min_area, max_area,
+    )
 
 
 def _detect_blobs(
@@ -303,6 +389,15 @@ def _detect_blobs(
     cx = moments[:, 1] / wsum
     cy = moments[:, 2] / wsum
     area = moments[:, 3]  # unweighted pixel count
+    # centred second moments for the splitter: E[x^2]-cx^2 in f32 loses
+    # ~5 px^2 of precision at image-scale coordinates (phantom
+    # elongation); a centred second pass is exact at blob scale
+    wm = member_f * weight[None, :]
+    dxs = xs_f[None, :] - cx[:, None]
+    dys = ys_f[None, :] - cy[:, None]
+    var_xx = jnp.sum(wm * dxs * dxs, axis=-1) / wsum
+    var_yy = jnp.sum(wm * dys * dys, axis=-1) / wsum
+    var_xy = jnp.sum(wm * dxs * dys, axis=-1) / wsum
 
     big = jnp.float32(1e9)
     x_min = jnp.min(jnp.where(member, xs_f[None, :], big), axis=-1)
@@ -326,13 +421,11 @@ def _detect_blobs(
     )
 
     # Compact valid detections to the front, ordered by image scan position
-    # (approximates the reference's contour ordering).
-    order_key = jnp.where(valid, comp_ids, jnp.iinfo(jnp.int32).max)
-    perm = jnp.argsort(order_key)
-    xy_d = jnp.stack([cx, cy], axis=-1)[perm]
-    mask = valid[perm]
-    area_s = jnp.where(mask, area[perm], 0.0)
-    return xy_d, mask, area_s
+    # (approximates the reference's contour ordering); split merged blobs.
+    return _split_and_compact(
+        params, comp_ids, cx, cy, area, valid, var_xx, var_yy, var_xy,
+        min_area, max_area,
+    )
 
 
 def find_leds(

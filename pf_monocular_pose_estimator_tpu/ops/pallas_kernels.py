@@ -104,7 +104,8 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
     reach = sweeps
 
     def kernel(img_ref, roi_ref, lab_ref, cnt_ref, sx_ref, sy_ref,
-               xmin_ref, xmax_ref, ymin_ref, ymax_ref):
+               xmin_ref, xmax_ref, ymin_ref, ymax_ref,
+               sxx_ref, syy_ref, sxy_ref):
         img = img_ref[:]
         h, w = img.shape
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
@@ -151,7 +152,8 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
         big = jnp.float32(1e9)
         zeros = jnp.zeros((h, w), jnp.float32)
         init = (zeros, zeros, zeros, jnp.full((h, w), big), jnp.full((h, w), -big),
-                jnp.full((h, w), big), jnp.full((h, w), -big))
+                jnp.full((h, w), big), jnp.full((h, w), -big),
+                zeros, zeros, zeros)
 
         def dy_body(iy, carry):
             dy = iy - reach  # dy in [-reach, 0]
@@ -159,7 +161,7 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
 
             def dx_body(ix, carry):
                 dx = ix - reach  # dx in [-reach, reach]
-                cnt, sx, sy, xmin, xmax, ymin, ymax = carry
+                cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = carry
                 nb = pltpu.roll(rolled_y, -dx, 1)  # lab[p + (dy, dx)]
                 same = (nb == lab) & (lab > 0)
                 samef = same.astype(jnp.float32)
@@ -168,15 +170,18 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
                 cnt = cnt + samef
                 sx = sx + fdx * samef
                 sy = sy + fdy * samef
+                sxx = sxx + fdx * fdx * samef
+                syy = syy + fdy * fdy * samef
+                sxy = sxy + fdx * fdy * samef
                 xmin = jnp.where(same, jnp.minimum(xmin, fdx), xmin)
                 xmax = jnp.where(same, jnp.maximum(xmax, fdx), xmax)
                 ymin = jnp.where(same, jnp.minimum(ymin, fdy), ymin)
                 ymax = jnp.where(same, jnp.maximum(ymax, fdy), ymax)
-                return cnt, sx, sy, xmin, xmax, ymin, ymax
+                return cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy
 
             return jax.lax.fori_loop(0, 2 * reach + 1, dx_body, carry)
 
-        cnt, sx, sy, xmin, xmax, ymin, ymax = jax.lax.fori_loop(
+        cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = jax.lax.fori_loop(
             0, reach + 1, dy_body, init
         )
 
@@ -188,6 +193,9 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
         xmax_ref[:] = xmax
         ymin_ref[:] = ymin
         ymax_ref[:] = ymax
+        sxx_ref[:] = sxx
+        syy_ref[:] = syy
+        sxy_ref[:] = sxy
 
     return kernel
 
@@ -205,8 +213,10 @@ def detect_stats_pallas(
     interpret: bool = False,
 ):
     """Fused threshold+blur+CC+moments.  Returns
-    (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax) — all (H, W);
-    component statistics are valid AT ROOT PIXELS (label == own index)."""
+    (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax,
+    sum_dx2, sum_dy2, sum_dxdy) — all (H, W); component statistics are
+    valid AT ROOT PIXELS (label == own index), offsets relative to the
+    root (second moments feed the merged-blob splitter)."""
     taps = _gaussian_kernel_1d(sigma)
     kernel = _make_detect_kernel(taps, float(threshold), bool(active), int(sweeps))
     roi_smem = roi.astype(jnp.float32).reshape(1, 4)
@@ -214,7 +224,7 @@ def detect_stats_pallas(
     f32 = jnp.float32
     space = pl.ANY if interpret else pltpu.VMEM
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.int32)] + [
-        jax.ShapeDtypeStruct((h, w), f32) for _ in range(7)
+        jax.ShapeDtypeStruct((h, w), f32) for _ in range(10)
     ]
     return pl.pallas_call(
         kernel,
@@ -223,7 +233,7 @@ def detect_stats_pallas(
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=space) for _ in range(8)],
+        out_specs=[pl.BlockSpec(memory_space=space) for _ in range(11)],
         interpret=interpret,
     )(image.astype(jnp.float32), roi_smem)
 

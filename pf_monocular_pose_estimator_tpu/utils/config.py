@@ -38,6 +38,12 @@ class TrackerConfig:
     max_detections: int = 16  # fixed detection-bank capacity (TPU)
     cc_sweeps: int = 12
     roi_crop: Tuple[int, int] | None = (192, 256)  # fixed detect crop (h, w)
+    # merged-blob splitting (engine extension, ops/blob.py BlobParams):
+    # oversized+elongated components become two detections instead of
+    # being dropped by the area filter (False = reference parity)
+    split_merged_blobs: bool = True
+    split_max_factor: float = 2.5
+    split_min_elongation: float = 1.5
 
     # --- tolerances / thresholds (cfg:18-21, 32) ---
     back_projection_pixel_tolerance: float = 5.0
@@ -218,6 +224,7 @@ class TrackerConfig:
             jump_translation_radius=0.0,
             motion_prior_radius=0.0,
             marginal_margin_factor=0.0,
+            split_merged_blobs=False,
         )
         base.update(overrides)
         return cls(**base)
@@ -234,4 +241,7 @@ class TrackerConfig:
             max_detections=self.max_detections,
             cc_sweeps=self.cc_sweeps,
             roi_crop=self.roi_crop,
+            split_merged=self.split_merged_blobs,
+            split_max_factor=self.split_max_factor,
+            split_min_elongation=self.split_min_elongation,
         )

@@ -75,8 +75,24 @@ def test_find_leds_area_filter_rejects_big_blob(camera, markers, pose, params):
     # At threshold 240, a sigma splat keeps ~pi*(0.348*sigma)^2 px above
     # threshold; sigma=24 -> ~220 px^2 > max_blob_area=200.
     big = render_frame(camera, pose, markers[:1], blob_sigma=24.0)
-    det = find_leds(big, full_roi(camera), params, camera)
+    # reference parity: oversized contour dropped (led_detector.cpp:98)
+    det = find_leds(big, full_roi(camera), params._replace(split_merged=False), camera)
     assert int(det.count) == 0  # giant blob exceeds max area
+    # engine default: oversized+elongated blobs split into two children
+    # (a merged-LED rescue; spurious children from glare are absorbed by
+    # the tracker's outlier machinery) — a *hugely* oversized blob
+    # (> split_max_factor * max) is still dropped
+    det2 = find_leds(big, full_roi(camera), params, camera)
+    assert int(det2.count) in (0, 2)
+    # a giant blob (diameter beyond cc_sweeps) fragments into
+    # unconverged partial components; with splitting on that can emit a
+    # couple of spurious detections (absorbed downstream like injected
+    # false blobs), in parity mode it emits none
+    huge = _disc_image([(400, 240)], r=15)
+    det3 = find_leds(huge, full_roi(camera), params, camera)
+    assert int(det3.count) <= 2
+    det4 = find_leds(huge, full_roi(camera), params._replace(split_merged=False), camera)
+    assert int(det4.count) == 0
 
 
 def test_find_leds_threshold(camera, markers, pose, params):
@@ -161,3 +177,61 @@ def test_exposure_control_no_detections_no_count():
     st2 = exposure_control(st, jnp.asarray(0.0), jnp.asarray(1000.0), 2000.0, jnp.asarray(False))
     assert int(st2.counter_increase) == 0
     assert float(st2.exposure_us) == 2000.0
+
+
+def _disc_image(centers, r, h=480, w=752):
+    img = np.zeros((h, w), np.float32)
+    ys, xs = np.mgrid[0:h, 0:w]
+    for cx, cy in centers:
+        img[((xs - cx) ** 2 + (ys - cy) ** 2) <= r * r] = 255.0
+    return jnp.asarray(img)
+
+
+def test_merged_blob_split_recovers_two_leds(camera):
+    """Two LEDs merging into one oversized elongated component are split
+    into two detections near the true centres (engine extension; the
+    reference's area filter drops the merged contour, led_detector.cpp:98).
+    A clean round blob is unaffected; split_merged=False restores the
+    reference's drop-it behaviour."""
+    from pf_monocular_pose_estimator_tpu.ops.blob import BlobParams, find_leds
+
+    img = _disc_image([(300, 200), (308, 200), (500, 300)], r=4)
+    p = BlobParams(roi_crop=None)
+    roi = jnp.asarray([0, 0, 752, 480], jnp.float32)
+    det = find_leds(img, roi, p, camera)
+    xy = np.asarray(det.xy)[np.asarray(det.mask)]
+    assert xy.shape[0] == 3, xy
+    # the two children straddle the true centres
+    pair = xy[np.argsort(xy[:, 0])][:2]
+    assert abs(pair[0, 0] - 300) < 3 and abs(pair[1, 0] - 308) < 3, pair
+    assert np.all(np.abs(pair[:, 1] - 200) < 2), pair
+    # single clean blob present and un-split
+    assert np.any(np.linalg.norm(xy - np.array([500.0, 300.0]), axis=-1) < 2)
+
+    det_off = find_leds(img, roi, p._replace(split_merged=False), camera)
+    xy_off = np.asarray(det_off.xy)[np.asarray(det_off.mask)]
+    assert xy_off.shape[0] == 1  # merged pair dropped, clean blob kept
+
+
+def test_merged_blob_split_fused_parity(camera):
+    """Fused Pallas detection (interpret mode) matches the XLA path on a
+    merged-blob image, including the split children."""
+    from pf_monocular_pose_estimator_tpu.ops.blob import (
+        BlobParams,
+        _detect_blobs,
+        _detect_blobs_fused,
+    )
+
+    img = _disc_image([(100, 90), (107, 92), (60, 40)], r=4, h=192, w=256)
+    p = BlobParams(roi_crop=None)
+    roi = jnp.asarray([0, 0, 256, 192], jnp.float32)
+    lo, hi = jnp.float32(20.0), jnp.float32(160.0)
+    xy_x, m_x, a_x = _detect_blobs(img, roi, p, lo, hi)
+    xy_f, m_f, a_f = _detect_blobs_fused(img, roi, p, lo, hi, interpret=True)
+    np.testing.assert_array_equal(np.asarray(m_x), np.asarray(m_f))
+    np.testing.assert_allclose(
+        np.asarray(xy_x)[np.asarray(m_x)], np.asarray(xy_f)[np.asarray(m_f)], atol=0.1
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_x)[np.asarray(m_x)], np.asarray(a_f)[np.asarray(m_f)], rtol=0.05
+    )
