@@ -23,19 +23,25 @@ import time
 
 def build_parser():
     p = argparse.ArgumentParser(description="TPU-native LED-marker pose tracker")
+    p.add_argument(
+        "--config",
+        type=str,
+        help="experiment YAML (io/experiment.py — the launch-file tier); "
+        "explicit CLI flags override file values",
+    )
     p.add_argument("--synthetic", action="store_true", help="run on a synthetic orbit sequence")
-    p.add_argument("--frames", type=int, default=60)
-    p.add_argument("--fps", type=float, default=50.0)
-    p.add_argument("--particles", type=int, default=1000)
+    p.add_argument("--frames", type=int, default=None)
+    p.add_argument("--fps", type=float, default=None)
+    p.add_argument("--particles", type=int, default=None)
     p.add_argument("--camera", type=str, help="camera calibration YAML")
     p.add_argument("--markers", type=str, help="marker positions YAML (reference schema)")
     p.add_argument("--markers-per-object", type=int, nargs="*", help="numberOfMarkersUAVk split")
     p.add_argument("--sequence", type=str, help="npz with frames (T,H,W) and times (T,)")
     p.add_argument("--device", type=str, default=None, choices=[None, "cpu", "tpu"])
-    p.add_argument("--occlusions", type=int, default=0)
-    p.add_argument("--false-detections", type=int, default=0)
-    p.add_argument("--pf-retries", type=int, default=20)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--occlusions", type=int, default=None)
+    p.add_argument("--false-detections", type=int, default=None)
+    p.add_argument("--pf-retries", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
     p.add_argument("--save-video", type=str, help="write annotated frames to .npz")
     p.add_argument("--checkpoint", type=str, help="save final tracker state here")
     p.add_argument("--json", action="store_true", help="machine-readable summary only")
@@ -48,7 +54,7 @@ def build_parser():
     p.add_argument(
         "--num-targets",
         type=int,
-        default=1,
+        default=None,
         help="track multiple objects (markers split via --markers-per-object, "
         "or the same marker set replicated)",
     )
@@ -58,6 +64,49 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    exp = {"tracker": {}, "run": {}}
+    if args.config:
+        from ..io.experiment import load_experiment
+
+        exp = load_experiment(args.config)
+        run = exp["run"]
+        # file fills anything the CLI left unset
+        if args.camera is None:
+            args.camera = exp["camera"]
+        if args.markers is None:
+            args.markers = exp["markers"]
+        if args.markers_per_object is None:
+            args.markers_per_object = exp["markers_per_object"]
+        if args.num_targets is None:
+            args.num_targets = exp["num_targets"]
+        if args.sequence is None:
+            args.sequence = run.get("sequence")
+        if not args.synthetic:
+            args.synthetic = bool(run.get("synthetic", False))
+        for name in ("frames", "fps", "seed"):
+            if getattr(args, name) is None and name in run:
+                setattr(args, name, run[name])
+
+    # tracker-field precedence: explicit CLI flag > experiment file >
+    # built-in (mirrors roslaunch arg > launch value > param default)
+    cli_tracker = {}
+    if args.particles is not None:
+        cli_tracker["n_particles"] = args.particles
+    if args.pf_retries is not None:
+        cli_tracker["pf_max_retries"] = args.pf_retries
+    if args.occlusions is not None:
+        cli_tracker["number_of_occlusions"] = args.occlusions
+    if args.false_detections is not None:
+        cli_tracker["number_of_false_detections"] = args.false_detections
+    tracker_overrides = {**exp["tracker"], **cli_tracker}
+
+    # built-in defaults for anything still unset
+    for name, default in (
+        ("frames", 60), ("fps", 50.0), ("seed", 0), ("num_targets", 1),
+    ):
+        if getattr(args, name) is None:
+            setattr(args, name, default)
 
     import jax
 
@@ -104,13 +153,14 @@ def main(argv=None):
         return 2
 
     config = TrackerConfig(
-        n_particles=args.particles,
-        min_blob_area=8.0,
-        pf_max_retries=args.pf_retries,
-        number_of_occlusions=args.occlusions,
-        number_of_false_detections=args.false_detections,
-        use_online_exposure_control=args.exposure_control,
-        expose_time_base=args.expose_time_base,
+        **{
+            "n_particles": 1000,
+            "min_blob_area": 8.0,
+            "pf_max_retries": 20,
+            "use_online_exposure_control": args.exposure_control,
+            "expose_time_base": args.expose_time_base,
+            **tracker_overrides,
+        }
     )
     multi = args.num_targets > 1
     if multi:
