@@ -78,7 +78,7 @@ def solve6_spd(a: jnp.ndarray, b: jnp.ndarray, refine: bool = True) -> jnp.ndarr
     triangular-solve custom-calls (~3 dispatches per solve); unrolled
     over the GN budget that is ~75 un-fusable dispatches per frame.
     This closed-form path (Jacobi scaling, 3x3-blocked Schur complement
-    with adjugate inverses, one iterative-refinement step) is pure
+    with adjugate inverses, optional iterative-refinement step) is pure
     elementwise/dot ops that XLA fuses into the surrounding iteration.
 
     Accuracy: at the estimator's typical conditioning (cond(A) ~ 1e1-1e3)
