@@ -43,11 +43,13 @@ def test_load_experiment_rejects_unknown_fields(tmp_path):
         load_experiment(str(bad))
 
 
-def test_cli_runs_experiment_with_overrides(capsys):
+def test_cli_runs_experiment_with_overrides(capsys, tmp_path):
     """CLI --config end-to-end: file supplies camera/markers/tracker,
-    explicit flags override frames/particles (roslaunch-arg precedence)."""
+    explicit flags override frames/particles (roslaunch-arg precedence);
+    --save-video writes the annotated-frame npz (visualization path)."""
     from pf_monocular_pose_estimator_tpu.io.cli import main
 
+    video = str(tmp_path / "video.npz")
     rc = main(
         [
             "--config",
@@ -56,6 +58,8 @@ def test_cli_runs_experiment_with_overrides(capsys):
             "6",
             "--particles",
             "500",
+            "--save-video",
+            video,
             "--json",
         ]
     )
@@ -64,3 +68,7 @@ def test_cli_runs_experiment_with_overrides(capsys):
     assert summary["frames"] == 6  # CLI override beat the file's 60
     assert summary["tracked_frames"] >= 5
     assert summary["ate_m"] < 0.05
+    import numpy as np
+
+    frames = np.load(summary["video"])["frames"]
+    assert frames.shape[0] == 6 and frames.ndim == 4  # (T, H, W, 3) overlays
