@@ -113,3 +113,68 @@ def test_robustness_extensions_beat_reference_parity():
     assert np.mean(t_def) >= np.mean(t_par), (
         f"default {t_def} vs reference-parity {t_par}"
     )
+
+
+def test_merged_led_split_keeps_detections_and_halves_error():
+    """Two LEDs offset mostly along the object's depth axis merge as the
+    approach turns frontal.  With merged-blob splitting the tracker keeps
+    all five detections through the merge and its pose error stays well
+    below the no-split run (which loses the pair to the area filter).
+    The residual error in BOTH runs is the genuine depth ambiguity of a
+    near-frontal pair — the comparison isolates the detection effect."""
+    from pf_monocular_pose_estimator_tpu.geometry.se3 import exp_se3
+    from pf_monocular_pose_estimator_tpu.io.synthetic import render_frame
+
+    camera = default_camera()
+    markers = jnp.asarray(
+        [
+            [0.10, 0.00, 0.00, 1.0],
+            [-0.08, 0.07, 0.01, 1.0],
+            [-0.06, -0.09, 0.02, 1.0],
+            [0.05, 0.00, 0.00, 1.0],
+            [0.062, 0.012, 0.10, 1.0],  # merges with [3] when frontal
+        ],
+        jnp.float32,
+    )
+    mask = jnp.ones((5,), bool)
+    rots = np.linspace(0.45, 0.0, 14)
+    poses = [
+        exp_se3(jnp.asarray([0.0, 0.0, 1.4, 0.0, float(r), 0.0], jnp.float32))
+        for r in rots
+    ]
+    frames = jnp.stack([render_frame(camera, p, markers) for p in poses])
+    times = jnp.arange(14, dtype=jnp.float32) / 50.0
+
+    def run(split):
+        cfg = TrackerConfig(
+            n_particles=3000,
+            threshold_value=200.0,
+            min_blob_area=8.0,
+            max_blob_area=45.0,
+            pf_max_retries=8,
+            split_merged_blobs=split,
+        )
+        step = make_tracker(camera, markers, mask, cfg)
+        state = TargetState.create(cfg.n_particles, jax.random.PRNGKey(0))
+        errs, ndets, upd = [], [], []
+        for i in range(14):
+            state, res = step(state, frames[i], times[i])
+            errs.append(
+                np.linalg.norm(
+                    np.asarray(res.pose)[:3, 3] - np.asarray(poses[i])[:3, 3]
+                )
+            )
+            ndets.append(int(res.num_detections))
+            upd.append(bool(res.pose_updated))
+        return np.asarray(errs), ndets, upd
+
+    err_on, ndet_on, upd_on = run(True)
+    err_off, ndet_off, upd_off = run(False)
+    assert all(upd_on) and all(upd_off)
+    # through the merge (last 5 frames): splitting keeps all 5 detections
+    assert all(n == 5 for n in ndet_on[-5:]), ndet_on
+    assert all(n <= 4 for n in ndet_off[-5:]), ndet_off
+    assert err_on[-5:].mean() < 0.75 * err_off[-5:].mean(), (
+        err_on[-5:].mean(),
+        err_off[-5:].mean(),
+    )
