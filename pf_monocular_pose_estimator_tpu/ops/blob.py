@@ -249,7 +249,7 @@ def _detect_blobs_fused(
     from .pallas_kernels import detect_stats_pallas
 
     h, w = img.shape
-    lab, cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = detect_stats_pallas(
+    outs = detect_stats_pallas(
         img,
         roi,
         float(params.threshold),
@@ -257,7 +257,13 @@ def _detect_blobs_fused(
         bool(params.active_markers),
         int(params.cc_sweeps),
         interpret=interpret,
+        second_moments=bool(params.split_merged),
     )
+    if params.split_merged:
+        lab, cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = outs
+    else:
+        lab, cnt, sx, sy, xmin, xmax, ymin, ymax = outs
+        sxx = syy = sxy = jnp.zeros_like(cnt)
     flat = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     is_root = lab == flat  # implies lab > 0
     area_map = jnp.where(is_root, cnt, 0.0).reshape(-1)

@@ -77,7 +77,8 @@ def _make_kernel(taps: np.ndarray, threshold: float, active: bool):
     return kernel
 
 
-def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps: int):
+def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps: int,
+                        second_moments: bool = True):
     """Fused detection front-end: threshold -> blur -> connected-component
     label propagation -> per-label moment/bbox accumulation, one VMEM pass.
 
@@ -105,7 +106,9 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
 
     def kernel(img_ref, roi_ref, lab_ref, cnt_ref, sx_ref, sy_ref,
                xmin_ref, xmax_ref, ymin_ref, ymax_ref,
-               sxx_ref, syy_ref, sxy_ref):
+               *moment2_refs):
+        if second_moments:
+            sxx_ref, syy_ref, sxy_ref = moment2_refs
         img = img_ref[:]
         h, w = img.shape
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
@@ -170,9 +173,10 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
                 cnt = cnt + samef
                 sx = sx + fdx * samef
                 sy = sy + fdy * samef
-                sxx = sxx + fdx * fdx * samef
-                syy = syy + fdy * fdy * samef
-                sxy = sxy + fdx * fdy * samef
+                if second_moments:
+                    sxx = sxx + fdx * fdx * samef
+                    syy = syy + fdy * fdy * samef
+                    sxy = sxy + fdx * fdy * samef
                 xmin = jnp.where(same, jnp.minimum(xmin, fdx), xmin)
                 xmax = jnp.where(same, jnp.maximum(xmax, fdx), xmax)
                 ymin = jnp.where(same, jnp.minimum(ymin, fdy), ymin)
@@ -193,15 +197,19 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
         xmax_ref[:] = xmax
         ymin_ref[:] = ymin
         ymax_ref[:] = ymax
-        sxx_ref[:] = sxx
-        syy_ref[:] = syy
-        sxy_ref[:] = sxy
+        if second_moments:
+            sxx_ref[:] = sxx
+            syy_ref[:] = syy
+            sxy_ref[:] = sxy
 
     return kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("threshold", "sigma", "active", "sweeps", "interpret")
+    jax.jit,
+    static_argnames=(
+        "threshold", "sigma", "active", "sweeps", "interpret", "second_moments"
+    ),
 )
 def detect_stats_pallas(
     image: jnp.ndarray,
@@ -211,6 +219,7 @@ def detect_stats_pallas(
     active: bool = True,
     sweeps: int = 12,
     interpret: bool = False,
+    second_moments: bool = True,
 ):
     """Fused threshold+blur+CC+moments.  Returns
     (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax,
@@ -218,13 +227,16 @@ def detect_stats_pallas(
     valid AT ROOT PIXELS (label == own index), offsets relative to the
     root (second moments feed the merged-blob splitter)."""
     taps = _gaussian_kernel_1d(sigma)
-    kernel = _make_detect_kernel(taps, float(threshold), bool(active), int(sweeps))
+    kernel = _make_detect_kernel(
+        taps, float(threshold), bool(active), int(sweeps), bool(second_moments)
+    )
     roi_smem = roi.astype(jnp.float32).reshape(1, 4)
     h, w = image.shape
     f32 = jnp.float32
     space = pl.ANY if interpret else pltpu.VMEM
+    n_f32 = 10 if second_moments else 7
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.int32)] + [
-        jax.ShapeDtypeStruct((h, w), f32) for _ in range(10)
+        jax.ShapeDtypeStruct((h, w), f32) for _ in range(n_f32)
     ]
     return pl.pallas_call(
         kernel,
@@ -233,7 +245,7 @@ def detect_stats_pallas(
             pl.BlockSpec(memory_space=space),
             pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=space) for _ in range(11)],
+        out_specs=[pl.BlockSpec(memory_space=space) for _ in range(1 + n_f32)],
         interpret=interpret,
     )(image.astype(jnp.float32), roi_smem)
 
