@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..geometry.camera import Camera, project
 from ..geometry.se3 import exp_se3, inverse, log_se3, predict_constant_velocity
@@ -51,7 +52,10 @@ from .short_p3p import short_p3p
 from .state import FrameResult, TargetState
 
 # Hard-coded observer-camera mounting rotation (pose_estimator.cpp:260-263).
-_ROT_CAM = jnp.asarray(
+# Kept as a numpy constant: a module-level jnp.asarray would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize for
+# any multi-host user importing the tracker first.
+_ROT_CAM = np.asarray(
     [[0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
 )
 
@@ -99,7 +103,7 @@ def _ego_motion(state: TargetState, t, obs_pose, obs_time, config: TrackerConfig
 
     obs_cam = jnp.where(
         jnp.abs(jnp.linalg.det(obs_pose)) < 1e-9, jnp.eye(4, dtype=obs_pose.dtype), obs_pose
-    ) @ _ROT_CAM.astype(obs_pose.dtype)
+    ) @ jnp.asarray(_ROT_CAM, obs_pose.dtype)
 
     new_avail = obs_time > state.time_obs_act
     change = jnp.where(new_avail, inverse(state.obs_cam_old) @ obs_cam, state.change_cam_pose)

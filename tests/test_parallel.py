@@ -1,10 +1,15 @@
 """Mesh sharding tests on the virtual 8-device CPU mesh (SURVEY.md §7
 layer 6): sharded-vs-single equivalence and multi-target sharding."""
 
+import json
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 from pf_monocular_pose_estimator_tpu.geometry import Camera, exp_se3
 from pf_monocular_pose_estimator_tpu.io.synthetic import demo_markers, render_frame
@@ -151,3 +156,54 @@ def test_multihost_entry_single_process():
     assert arr.shape == (3, 4)
     np.testing.assert_array_equal(np.asarray(arr), frame)
     assert arr.sharding.is_fully_replicated
+
+
+@pytest.mark.slow
+def test_multihost_two_real_processes(tmp_path):
+    """GENUINE multi-process jax.distributed run: two OS processes, two
+    virtual CPU devices each (4 global), full sharded tracker with the
+    explicit distributed-resampling collectives riding the Gloo backend.
+    This is the CI stand-in for a multi-host pod slice (SURVEY §2
+    'collective backend' row) — same code path as
+    `python -m ...parallel.distributed` on real hosts."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(
+        "import os, sys\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        "os.environ['XLA_FLAGS'] = os.environ.get('XLA_FLAGS', '') + "
+        "' --xla_force_host_platform_device_count=2'\n"
+        f"sys.path.insert(0, {repr(REPO_ROOT)})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from pf_monocular_pose_estimator_tpu.parallel.distributed import run_multihost\n"
+        "run_multihost(['--coordinator', '127.0.0.1:' + sys.argv[3],"
+        " '--num-processes', sys.argv[2], '--process-id', sys.argv[1],"
+        " '--particles', '1024', '--frames', '6'])\n"
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(worker), str(pid), "2", str(port)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=540) for p in procs]
+    assert all(p.returncode == 0 for p in procs), [o[1][-800:] for o in outs]
+    summary = json.loads(
+        [line for line in outs[0][0].splitlines() if line.startswith("{")][-1]
+    )
+    assert summary["processes"] == 2 and summary["devices"] == 4
+    assert summary["tracked"] == 6
