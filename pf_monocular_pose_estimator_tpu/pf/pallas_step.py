@@ -41,6 +41,177 @@ from .propagate import NoiseBounds
 from .pallas_weight import _BIG, _weight_from_rows
 
 
+def _make_folded_kernel(m_cap: int, k_cap: int, block: int):
+    """Sublane-folded twin of `_make_fused_kernel` (want_pairs=False).
+
+    Mosaic lays a (1, C) vector out with REPLICATED sublanes — one
+    128-lane row per (8, 128) vreg — so every per-particle row op in the
+    straight kernel runs at 1/8 VPU density.  This variant folds each
+    row to (8, C/8) at kernel entry (8 lane-slices concatenated along
+    sublanes) and runs the whole propagate+weight math dense, unfolding
+    only at the output stores.  Per-element expressions and their FMA
+    order are IDENTICAL to the straight kernel, so results are
+    bit-identical (pinned by tests/test_pallas_step.py).
+    """
+    c8 = block // 8
+
+    def kernel(scal_ref, mark_ref, dets_ref, downg_ref,
+               lr_ref, pin_ref, prop_ref, bank_ref, u01_ref,
+               out_ref, w_ref):
+        def fold(ref, row):
+            return jnp.concatenate(
+                [ref[row : row + 1, s * c8 : (s + 1) * c8] for s in range(8)],
+                axis=0,
+            )
+
+        # --- compose base = L @ (T @ R), same FMA order as the straight
+        # kernel ---
+        t = [fold(bank_ref, i) for i in range(16)]
+        tr = []
+        for i in range(4):
+            for j in range(4):
+                acc = t[i * 4 + 0] * lr_ref[0, 16 + 0 * 4 + j]
+                for k in range(1, 4):
+                    acc = acc + t[i * 4 + k] * lr_ref[0, 16 + k * 4 + j]
+                tr.append(acc)
+        base = []
+        for i in range(4):
+            for j in range(4):
+                acc = lr_ref[0, i * 4 + 0] * tr[0 * 4 + j]
+                for k in range(1, 4):
+                    acc = acc + lr_ref[0, i * 4 + k] * tr[k * 4 + j]
+                base.append(acc)
+
+        def unif(row):
+            lo = prop_ref[0, 2 * row]
+            hi = prop_ref[0, 2 * row + 1]
+            u = fold(u01_ref, row)
+            return jnp.maximum(lo, u * (hi - lo) + lo)
+
+        a = unif(0)
+        b = unif(1)
+        cang = unif(2)
+        dt0 = unif(3)
+        dt1 = unif(4)
+        dt2 = unif(5)
+
+        ca, sa = jnp.cos(a), jnp.sin(a)
+        cb, sb = jnp.cos(b), jnp.sin(b)
+        cc, sc = jnp.cos(cang), jnp.sin(cang)
+        rn = (
+            cc * cb,
+            cc * sb * sa - sc * ca,
+            cc * sb * ca + sc * sa,
+            sc * cb,
+            sc * sb * sa + cc * ca,
+            sc * sb * ca - cc * sa,
+            -sb,
+            cb * sa,
+            cb * ca,
+        )
+        dts = (dt0, dt1, dt2)
+
+        out = []
+        for i in range(4):
+            for j in range(4):
+                if j == 3:
+                    if i < 3:
+                        out.append(base[i * 4 + 3] + dts[i])
+                    else:
+                        out.append(base[15])
+                elif i == 3:
+                    out.append(base[12 + j])
+                else:
+                    acc = base[i * 4 + 0] * rn[0 * 3 + j]
+                    acc = acc + base[i * 4 + 1] * rn[1 * 3 + j]
+                    acc = acc + base[i * 4 + 2] * rn[2 * 3 + j]
+                    out.append(acc)
+
+        # --- pin candidate lanes 0/1 (global particle index, folded) ---
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 1)
+        glane = iota_s * c8 + iota_l + pl.program_id(0) * block
+        rows = []
+        for i in range(16):
+            r = jnp.where(glane == 0, pin_ref[0, i], out[i])
+            r = jnp.where(glane == 1, pin_ref[0, 16 + i], r)
+            rows.append(r)
+            for s in range(8):
+                out_ref[i : i + 1, s * c8 : (s + 1) * c8] = r[s : s + 1, :]
+
+        # --- weight: same math as pallas_weight._weight_from_rows, on
+        # folded rows with per-detection SMEM scalars ---
+        fx = scal_ref[0, 0]
+        fy = scal_ref[0, 1]
+        cx = scal_ref[0, 2]
+        cy = scal_ref[0, 3]
+        tol_pf = scal_ref[0, 4]
+        tol_init = scal_ref[0, 5]
+        nms = scal_ref[0, 6]
+        r0, r1, r2, r3, r4, r5, r6, r7, r8, r9, r10, r11 = rows[:12]
+
+        km = m_cap * k_cap
+        dist = []
+        for m in range(m_cap):
+            mx = mark_ref[0, 3 * m + 0]
+            my = mark_ref[0, 3 * m + 1]
+            mz = mark_ref[0, 3 * m + 2]
+            mbig = mark_ref[0, 3 * m_cap + m]
+            xc = r0 * mx + r1 * my + r2 * mz + r3
+            yc = r4 * mx + r5 * my + r6 * mz + r7
+            zc = r8 * mx + r9 * my + r10 * mz + r11
+            safe_z = jnp.where(jnp.abs(zc) < 1e-12, 1e-12, zc)
+            u = fx * xc / safe_z + cx
+            v = fy * yc / safe_z + cy
+            for k in range(k_cap):
+                du = dets_ref[0, 2 * k] - u
+                dv = dets_ref[0, 2 * k + 1] - v
+                dist.append(du * du + dv * dv + dets_ref[0, 2 * k_cap + k] + mbig)
+
+        weights = jnp.zeros((8, c8), jnp.float32)
+        nself = jnp.ones((8, c8), jnp.float32)
+        done = jnp.zeros((8, c8), jnp.bool_)
+        used = [jnp.zeros((8, c8), jnp.float32) for _ in range(k_cap)]
+
+        for _ in range(m_cap):
+            minv = dist[0]
+            for d2 in dist[1:]:
+                minv = jnp.minimum(minv, d2)
+            idx = jnp.full((8, c8), km, jnp.int32)
+            for ridx in range(km - 1, -1, -1):
+                idx = jnp.where(dist[ridx] == minv, ridx, idx)  # first min wins
+            m_sel = idx // k_cap
+            k_sel = idx - m_sel * k_cap
+            d = jnp.sqrt(jnp.maximum(minv, 0.0))
+            ok = (d <= tol_pf) & (~done)
+            done = done | (~ok)
+
+            score = nms + ((tol_init - d) / tol_init) ** 2
+            reused = jnp.zeros((8, c8), jnp.float32)
+            for k in range(k_cap):
+                reused = jnp.maximum(reused, jnp.where(k_sel == k, used[k], 0.0))
+            occ_hit = ok & (reused > 0.0)
+            penal_occ = jnp.where(occ_hit, 3.0 * nself, 0.0)
+            nself = nself + jnp.where(occ_hit, 1.0, 0.0)
+
+            dpen = jnp.zeros((8, c8), jnp.float32)
+            for m in range(m_cap):
+                dpen = dpen + jnp.where(m_sel == m, downg_ref[0, m], 0.0)
+            penal_down = jnp.where(ok, dpen, 0.0)
+
+            weights = weights + jnp.where(ok, score, 0.0) - penal_occ - penal_down
+            for k in range(k_cap):
+                used[k] = used[k] + jnp.where((k_sel == k) & ok, 1.0, 0.0)
+            for ridx in range(km):
+                m_i = ridx // k_cap
+                dist[ridx] = jnp.where((m_sel == m_i) & ok, _BIG, dist[ridx])
+
+        for s in range(8):
+            w_ref[0:1, s * c8 : (s + 1) * c8] = weights[s : s + 1, :]
+
+    return kernel
+
+
 def _make_fused_kernel(m_cap: int, k_cap: int, block: int,
                        want_pairs: bool = True):
     def kernel(scal_ref, mark_ref, det_ref, detmask_ref, downg_ref,
@@ -141,7 +312,7 @@ def _make_fused_kernel(m_cap: int, k_cap: int, block: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "interpret", "want_pairs")
+    jax.jit, static_argnames=("block", "interpret", "want_pairs", "folded")
 )
 def fused_propagate_weight_pallas(
     key: jax.Array,
@@ -168,6 +339,7 @@ def fused_propagate_weight_pallas(
     block: int = 8192,
     interpret: bool = False,
     want_pairs: bool = True,
+    folded: bool = False,
 ):
     """Fused twin of `propagate_soa` + `weight_particles_soa`: returns
     (bank16, weights (N,), pairs_soa (M, 2, N), n_corr (N,)).
@@ -175,7 +347,11 @@ def fused_propagate_weight_pallas(
     With want_pairs=False returns (bank16, weights) only — the tracker's
     PF loop uses this: per-particle pairs are consumed for at most two
     lanes downstream, which are recomputed per-pose instead of carrying
-    (M, 2, N) through the loop."""
+    (M, 2, N) through the loop.
+
+    folded=True (want_pairs=False only) runs the sublane-folded kernel
+    (`_make_folded_kernel`): bit-identical results, per-particle row
+    math at full (8, 128) vreg density instead of 1/8."""
     m_cap = markers_h.shape[0]
     k_cap = det_xy.shape[0]
     n = resampled16.shape[1]
@@ -240,6 +416,41 @@ def fused_propagate_weight_pallas(
 
     # never use a block wider than the (lane-aligned) bank
     block = min(block, ((n + 127) // 128) * 128)
+
+    if folded and not want_pairs and block % 1024 == 0 and n % block == 0:
+        smem = pltpu.SMEM
+        space = pl.ANY if interpret else pltpu.VMEM
+        dets_smem = jnp.concatenate(
+            [det.reshape(-1), detmask.reshape(-1)]
+        ).reshape(1, 3 * k_cap)
+        kernel = _make_folded_kernel(m_cap, k_cap, block)
+        bank_out, w = pl.pallas_call(
+            kernel,
+            grid=(pl.cdiv(n, block),),
+            out_shape=[
+                jax.ShapeDtypeStruct((16, n), f32),
+                jax.ShapeDtypeStruct((1, n), f32),
+            ],
+            in_specs=[
+                pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, 4 * m_cap), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, 3 * k_cap), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, m_cap), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
+                pl.BlockSpec((6, block), lambda i: (0, i), memory_space=space),
+            ],
+            out_specs=[
+                pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
+                pl.BlockSpec((1, block), lambda i: (0, i), memory_space=space),
+            ],
+            interpret=interpret,
+        )(scal, mark, dets_smem, downg, lr, pin, prop,
+          resampled16.astype(f32), u01)
+        return bank_out, w[0]
+
     kernel = _make_fused_kernel(m_cap, k_cap, block, want_pairs)
     grid = (pl.cdiv(n, block),)
     space = pl.ANY if interpret else pltpu.VMEM

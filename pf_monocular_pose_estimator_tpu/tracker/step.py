@@ -586,6 +586,7 @@ def tracker_step(
                     downgrade,
                     m_f,
                     want_pairs=False,
+                    folded=config.use_folded_pf_kernel,
                 )
             if "propagate" in config.debug_skip:
                 bank16 = resampled16 * (1.0 + 1e-12 * inflation)

@@ -75,6 +75,12 @@ class TrackerConfig:
     # jax.random draws as the XLA path (uniforms pre-drawn outside).
     # Forced off by the sharded constructors alongside use_pallas_weight.
     use_fused_pf_kernel: bool = True
+    # sublane-folded fused kernel (pf/pallas_step.py::_make_folded_kernel):
+    # bit-identical math with per-particle rows packed (8, C/8) dense
+    # instead of Mosaic's replicated-sublane (1, C) layout.  Off until
+    # measured on hardware (the fold/unfold relayouts trade against the
+    # 8x row-op density win).
+    use_folded_pf_kernel: bool = False
     # batched Pallas GN refinement (pf/pallas_refine.py): all hypotheses
     # and iterations in one dispatch instead of an unrolled ~70-op/iter
     # XLA body (~800 us/frame of issue overhead at the default budget)

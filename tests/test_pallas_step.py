@@ -160,3 +160,34 @@ def test_fused_weight_consistent_with_pallas_weight():
     np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
     np.testing.assert_array_equal(np.asarray(pairs), np.asarray(pairs2))
     np.testing.assert_array_equal(np.asarray(nc), np.asarray(nc2))
+
+
+@pytest.mark.parametrize(
+    "tracking,apply_pred", [(True, True), (False, False)]
+)
+@pytest.mark.parametrize("seed,n", [(0, 2048), (5, 4096)])
+def test_folded_kernel_bit_identical(seed, n, tracking, apply_pred):
+    """The sublane-folded fused kernel computes per-element expressions
+    in the same order as the straight kernel — outputs are bit-identical
+    (interpret mode; on TPU the packing differs but the math does not)."""
+    s = _setup(seed, n, tracking, apply_pred)
+    fac_t = jnp.float32(1.3) * jnp.ones((3,), jnp.float32)
+    fac_r = jnp.float32(0.9) * jnp.ones((3,), jnp.float32)
+    infl = jnp.float32(1.1)
+    tol_pf = jnp.float32(18.0)
+    tol_init = jnp.float32(6.0)
+
+    args = (
+        s["key"], s["bank16"], s["cur"], s["pred"], s["predm"], s["cmi"],
+        NOISE, fac_t, fac_r, s["tracking"], s["apply_pred"], infl,
+        CAM, s["markers"], s["marker_mask"], s["det_xy"], s["det_mask"],
+        tol_pf, tol_init, s["downgrade"],
+    )
+    bank_s, w_s = fused_propagate_weight_pallas(
+        *args, block=1024, interpret=True, want_pairs=False
+    )
+    bank_f, w_f = fused_propagate_weight_pallas(
+        *args, block=1024, interpret=True, want_pairs=False, folded=True
+    )
+    np.testing.assert_array_equal(np.asarray(bank_f), np.asarray(bank_s))
+    np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_s))
