@@ -417,7 +417,10 @@ def fused_propagate_weight_pallas(
     # never use a block wider than the (lane-aligned) bank
     block = min(block, ((n + 127) // 128) * 128)
 
-    if folded and not want_pairs and block % 1024 == 0 and n % block == 0:
+    # folded needs c8 = block/8 lane-aligned; partial edge blocks are fine
+    # (Pallas pads reads and clips stores, and garbage pad lanes never
+    # reach the outputs)
+    if folded and not want_pairs and block % 1024 == 0:
         smem = pltpu.SMEM
         space = pl.ANY if interpret else pltpu.VMEM
         dets_smem = jnp.concatenate(

@@ -165,7 +165,7 @@ def test_fused_weight_consistent_with_pallas_weight():
 @pytest.mark.parametrize(
     "tracking,apply_pred", [(True, True), (False, False)]
 )
-@pytest.mark.parametrize("seed,n", [(0, 2048), (5, 4096)])
+@pytest.mark.parametrize("seed,n", [(0, 2048), (5, 4096), (7, 2560)])
 def test_folded_kernel_bit_identical(seed, n, tracking, apply_pred):
     """The sublane-folded fused kernel computes per-element expressions
     in the same order as the straight kernel — outputs are bit-identical
