@@ -42,7 +42,7 @@ def build_parser():
     p.add_argument("--false-detections", type=int, default=None)
     p.add_argument("--pf-retries", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
-    p.add_argument("--save-video", type=str, help="write annotated frames to .npz")
+    p.add_argument("--save-video", type=str, help="write annotated frames to .npz (single-target runs)")
     p.add_argument("--checkpoint", type=str, help="save final tracker state here")
     p.add_argument("--json", action="store_true", help="machine-readable summary only")
     p.add_argument(
@@ -50,7 +50,7 @@ def build_parser():
         action="store_true",
         help="run the online exposure state machine (reports exposure_us)",
     )
-    p.add_argument("--expose-time-base", type=float, default=2000.0)
+    p.add_argument("--expose-time-base", type=float, default=None)
     p.add_argument(
         "--num-targets",
         type=int,
@@ -99,6 +99,10 @@ def main(argv=None):
         cli_tracker["number_of_occlusions"] = args.occlusions
     if args.false_detections is not None:
         cli_tracker["number_of_false_detections"] = args.false_detections
+    if config.use_online_exposure_control:
+        cli_tracker["use_online_exposure_control"] = True
+    if args.expose_time_base is not None:
+        cli_tracker["expose_time_base"] = args.expose_time_base
     tracker_overrides = {**exp["tracker"], **cli_tracker}
 
     # built-in defaults for anything still unset
@@ -157,8 +161,6 @@ def main(argv=None):
             "n_particles": 1000,
             "min_blob_area": 8.0,
             "pf_max_retries": 20,
-            "use_online_exposure_control": args.exposure_control,
-            "expose_time_base": args.expose_time_base,
             **tracker_overrides,
         }
     )
@@ -253,9 +255,9 @@ def main(argv=None):
             for k in range(args.num_targets)
         ]
 
-    if args.exposure_control:
+    if config.use_online_exposure_control:
         summary["exposure_us"] = float(np.asarray(res.exposure_us).reshape(-1)[0])
-    if args.save_video:
+    if args.save_video and annotated:
         np.savez_compressed(args.save_video, frames=np.stack(annotated))
         summary["video"] = args.save_video
     if args.checkpoint:

@@ -155,8 +155,9 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
         big = jnp.float32(1e9)
         zeros = jnp.zeros((h, w), jnp.float32)
         init = (zeros, zeros, zeros, jnp.full((h, w), big), jnp.full((h, w), -big),
-                jnp.full((h, w), big), jnp.full((h, w), -big),
-                zeros, zeros, zeros)
+                jnp.full((h, w), big), jnp.full((h, w), -big))
+        if second_moments:
+            init = init + (zeros, zeros, zeros)
 
         def dy_body(iy, carry):
             dy = iy - reach  # dy in [-reach, 0]
@@ -164,7 +165,7 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
 
             def dx_body(ix, carry):
                 dx = ix - reach  # dx in [-reach, reach]
-                cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = carry
+                cnt, sx, sy, xmin, xmax, ymin, ymax = carry[:7]
                 nb = pltpu.roll(rolled_y, -dx, 1)  # lab[p + (dy, dx)]
                 same = (nb == lab) & (lab > 0)
                 samef = same.astype(jnp.float32)
@@ -173,21 +174,25 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
                 cnt = cnt + samef
                 sx = sx + fdx * samef
                 sy = sy + fdy * samef
-                if second_moments:
-                    sxx = sxx + fdx * fdx * samef
-                    syy = syy + fdy * fdy * samef
-                    sxy = sxy + fdx * fdy * samef
                 xmin = jnp.where(same, jnp.minimum(xmin, fdx), xmin)
                 xmax = jnp.where(same, jnp.maximum(xmax, fdx), xmax)
                 ymin = jnp.where(same, jnp.minimum(ymin, fdy), ymin)
                 ymax = jnp.where(same, jnp.maximum(ymax, fdy), ymax)
-                return cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy
+                out = (cnt, sx, sy, xmin, xmax, ymin, ymax)
+                if second_moments:
+                    sxx, syy, sxy = carry[7:]
+                    sxx = sxx + fdx * fdx * samef
+                    syy = syy + fdy * fdy * samef
+                    sxy = sxy + fdx * fdy * samef
+                    out = out + (sxx, syy, sxy)
+                return out
 
             return jax.lax.fori_loop(0, 2 * reach + 1, dx_body, carry)
 
-        cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = jax.lax.fori_loop(
-            0, reach + 1, dy_body, init
-        )
+        acc_out = jax.lax.fori_loop(0, reach + 1, dy_body, init)
+        cnt, sx, sy, xmin, xmax, ymin, ymax = acc_out[:7]
+        if second_moments:
+            sxx, syy, sxy = acc_out[7:]
 
         lab_ref[:] = lab
         cnt_ref[:] = cnt
@@ -222,10 +227,11 @@ def detect_stats_pallas(
     second_moments: bool = True,
 ):
     """Fused threshold+blur+CC+moments.  Returns
-    (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax,
-    sum_dx2, sum_dy2, sum_dxdy) — all (H, W); component statistics are
-    valid AT ROOT PIXELS (label == own index), offsets relative to the
-    root (second moments feed the merged-blob splitter)."""
+    (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax) plus,
+    when second_moments=True, (sum_dx2, sum_dy2, sum_dxdy) — all (H, W);
+    component statistics are valid AT ROOT PIXELS (label == own index),
+    offsets relative to the root (second moments feed the merged-blob
+    splitter)."""
     taps = _gaussian_kernel_1d(sigma)
     kernel = _make_detect_kernel(
         taps, float(threshold), bool(active), int(sweeps), bool(second_moments)

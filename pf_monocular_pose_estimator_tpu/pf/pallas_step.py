@@ -417,9 +417,13 @@ def fused_propagate_weight_pallas(
     # never use a block wider than the (lane-aligned) bank
     block = min(block, ((n + 127) // 128) * 128)
 
-    # folded needs c8 = block/8 lane-aligned; partial edge blocks are fine
-    # (Pallas pads reads and clips stores, and garbage pad lanes never
-    # reach the outputs)
+    # folded needs c8 = block/8 lane-aligned (block % 1024 == 0): shrink
+    # the block rather than silently running the straight kernel — the
+    # flag exists to measure the folded variant.  Partial edge blocks are
+    # fine (Pallas pads reads and clips stores, and garbage pad lanes
+    # never reach the outputs); only sub-1024 banks fall back.
+    if folded and not want_pairs:
+        block = max(1024, (block // 1024) * 1024) if block >= 1024 else block
     if folded and not want_pairs and block % 1024 == 0:
         smem = pltpu.SMEM
         space = pl.ANY if interpret else pltpu.VMEM
