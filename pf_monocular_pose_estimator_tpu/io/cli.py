@@ -99,7 +99,7 @@ def main(argv=None):
         cli_tracker["number_of_occlusions"] = args.occlusions
     if args.false_detections is not None:
         cli_tracker["number_of_false_detections"] = args.false_detections
-    if config.use_online_exposure_control:
+    if args.exposure_control:
         cli_tracker["use_online_exposure_control"] = True
     if args.expose_time_base is not None:
         cli_tracker["expose_time_base"] = args.expose_time_base
