@@ -238,6 +238,7 @@ def _detect_blobs_fused(
     min_area: jnp.ndarray,
     max_area: jnp.ndarray,
     interpret: bool = False,
+    threshold: jnp.ndarray | None = None,
 ):
     """Fully-fused detection: one Pallas pass produces labels + per-root
     component statistics (area, first moments, bbox); only the top-K
@@ -252,7 +253,7 @@ def _detect_blobs_fused(
     outs = detect_stats_pallas(
         img,
         roi,
-        float(params.threshold),
+        jnp.asarray(params.threshold if threshold is None else threshold, jnp.float32),
         float(params.gaussian_sigma),
         bool(params.active_markers),
         int(params.cc_sweeps),
@@ -313,6 +314,7 @@ def _detect_blobs(
     params: BlobParams,
     min_area: jnp.ndarray,
     max_area: jnp.ndarray,
+    threshold: jnp.ndarray | None = None,
 ):
     """Core blob extraction on one (H, W) float image.
 
@@ -324,11 +326,12 @@ def _detect_blobs(
     ys = jnp.arange(h, dtype=jnp.float32)[:, None]
     roi = roi.astype(jnp.float32)
 
+    thr = jnp.asarray(params.threshold if threshold is None else threshold, jnp.float32)
     if params.use_pallas and jax.default_backend() != "cpu":
         from .pallas_kernels import threshold_blur_pallas
 
         blurred = threshold_blur_pallas(
-            img, roi, params.threshold, params.gaussian_sigma, params.active_markers
+            img, roi, thr, params.gaussian_sigma, params.active_markers
         )
     else:
         in_roi = (
@@ -336,10 +339,10 @@ def _detect_blobs(
         )
         if params.active_markers:
             # THRESH_TOZERO (led_detector.cpp:58)
-            tz = jnp.where(img > params.threshold, img, 0.0)
+            tz = jnp.where(img > thr, img, 0.0)
         else:
             # THRESH_BINARY_INV (led_detector.cpp:60)
-            tz = jnp.where(img > params.threshold, 0.0, 255.0)
+            tz = jnp.where(img > thr, 0.0, 255.0)
         tz = jnp.where(in_roi, tz, 0.0)
         blurred = _blur(tz, params.gaussian_sigma)
     fg = blurred > 1e-3
@@ -441,6 +444,7 @@ def find_leds(
     camera: Camera,
     min_area: jnp.ndarray | None = None,
     max_area: jnp.ndarray | None = None,
+    threshold: jnp.ndarray | None = None,
 ) -> Detections:
     """Detect LED blobs in a frame.
 
@@ -450,6 +454,9 @@ def find_leds(
     min_area/max_area : optional *traced* overrides of the blob-area
             bounds, for the tracker's distance-adaptive thresholds
             (pose_estimator.cpp:435-439) without recompilation.
+    threshold : optional *traced* override of the binarisation threshold
+            (the reference's live-tunable threshold_value, cfg:12) —
+            retuning it costs no recompile.
 
     When `params.roi_crop` is set and the ROI fits, the whole pipeline
     runs on a fixed-size crop around the ROI centre (~7x less pixel work
@@ -489,18 +496,22 @@ def find_leds(
                 and jax.default_backend() != "cpu"
             ):
                 xy_d, mask, area = _detect_blobs_fused(
-                    img_c, roi_local, params, min_area, max_area
+                    img_c, roi_local, params, min_area, max_area, threshold=threshold
                 )
             else:
-                xy_d, mask, area = _detect_blobs(img_c, roi_local, params, min_area, max_area)
+                xy_d, mask, area = _detect_blobs(
+                    img_c, roi_local, params, min_area, max_area, threshold=threshold
+                )
             return xy_d + offset[None, :], mask, area
 
         def full(_):
-            return _detect_blobs(img, roi, params, min_area, max_area)
+            return _detect_blobs(img, roi, params, min_area, max_area, threshold=threshold)
 
         xy_d, mask, area_s = jax.lax.cond(fits, cropped, full, None)
     else:
-        xy_d, mask, area_s = _detect_blobs(img, roi, params, min_area, max_area)
+        xy_d, mask, area_s = _detect_blobs(
+            img, roi, params, min_area, max_area, threshold=threshold
+        )
 
     xy_u = undistort_pixels(camera, xy_d)
     zeros = jnp.zeros_like(mask)

@@ -44,7 +44,7 @@ def _shift2d(x, dy: int, dx: int):
     return out
 
 
-def _make_kernel(taps: np.ndarray, threshold: float, active: bool):
+def _make_kernel(taps: np.ndarray, active: bool):
     half = taps.size // 2
 
     def kernel(img_ref, roi_ref, out_ref):
@@ -58,7 +58,7 @@ def _make_kernel(taps: np.ndarray, threshold: float, active: bool):
         rw = roi_ref[0, 2]
         rh = roi_ref[0, 3]
         in_roi = (xs >= x0) & (xs < x0 + rw) & (ys >= y0) & (ys < y0 + rh)
-        thr = jnp.float32(threshold)
+        thr = roi_ref[0, 4]  # traced (dynamic_reconfigure tier, cfg:12)
         if active:
             tz = jnp.where(img > thr, img, 0.0)  # THRESH_TOZERO
         else:
@@ -77,7 +77,7 @@ def _make_kernel(taps: np.ndarray, threshold: float, active: bool):
     return kernel
 
 
-def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps: int,
+def _make_detect_kernel(taps: np.ndarray, active: bool, sweeps: int,
                         second_moments: bool = True):
     """Fused detection front-end: threshold -> blur -> connected-component
     label propagation -> per-label moment/bbox accumulation, one VMEM pass.
@@ -118,7 +118,7 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
         rw = roi_ref[0, 2]
         rh = roi_ref[0, 3]
         in_roi = (xs >= x0) & (xs < x0 + rw) & (ys >= y0) & (ys < y0 + rh)
-        thr = jnp.float32(threshold)
+        thr = roi_ref[0, 4]  # traced (dynamic_reconfigure tier, cfg:12)
         if active:
             tz = jnp.where(img > thr, img, 0.0)
         else:
@@ -212,9 +212,7 @@ def _make_detect_kernel(taps: np.ndarray, threshold: float, active: bool, sweeps
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "threshold", "sigma", "active", "sweeps", "interpret", "second_moments"
-    ),
+    static_argnames=("sigma", "active", "sweeps", "interpret", "second_moments"),
 )
 def detect_stats_pallas(
     image: jnp.ndarray,
@@ -234,9 +232,11 @@ def detect_stats_pallas(
     splitter)."""
     taps = _gaussian_kernel_1d(sigma)
     kernel = _make_detect_kernel(
-        taps, float(threshold), bool(active), int(sweeps), bool(second_moments)
+        taps, bool(active), int(sweeps), bool(second_moments)
     )
-    roi_smem = roi.astype(jnp.float32).reshape(1, 4)
+    roi_smem = jnp.concatenate(
+        [roi.astype(jnp.float32).reshape(4), jnp.asarray(threshold, jnp.float32).reshape(1)]
+    ).reshape(1, 5)
     h, w = image.shape
     f32 = jnp.float32
     space = pl.ANY if interpret else pltpu.VMEM
@@ -249,14 +249,14 @@ def detect_stats_pallas(
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=space),
-            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
         ],
         out_specs=[pl.BlockSpec(memory_space=space) for _ in range(1 + n_f32)],
         interpret=interpret,
     )(image.astype(jnp.float32), roi_smem)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "sigma", "active", "interpret"))
+@functools.partial(jax.jit, static_argnames=("sigma", "active", "interpret"))
 def threshold_blur_pallas(
     image: jnp.ndarray,
     roi: jnp.ndarray,
@@ -271,14 +271,16 @@ def threshold_blur_pallas(
     `interpret=True` runs the Pallas interpreter (for CPU tests).
     """
     taps = _gaussian_kernel_1d(sigma)
-    kernel = _make_kernel(taps, float(threshold), bool(active))
-    roi_smem = roi.astype(jnp.float32).reshape(1, 4)
+    kernel = _make_kernel(taps, bool(active))
+    roi_smem = jnp.concatenate(
+        [roi.astype(jnp.float32).reshape(4), jnp.asarray(threshold, jnp.float32).reshape(1)]
+    ).reshape(1, 5)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(image.shape, jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, 4), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.VMEM),
         interpret=interpret,

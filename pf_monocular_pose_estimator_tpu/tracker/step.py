@@ -363,13 +363,13 @@ def tracker_step(
         )
         roi = grow_roi(state.roi, growth, growth, camera)
 
-        det = find_leds(image, roi, params, camera)
+        det = find_leds(image, roi, params, camera, threshold=dyn.threshold_value)
         # second pass with PF-adaptive areas if too few (:154-159)
         pred_dist = jnp.linalg.norm(state.current_pose[:3, 3])
         min_a, max_a = _adaptive_blob_areas(config, pred_dist)
 
         def second_pass(_):
-            return find_leds(image, roi, params, camera, min_a, max_a)
+            return find_leds(image, roi, params, camera, min_a, max_a, threshold=dyn.threshold_value)
 
         # second pass only when a previous track left a usable pose
         # (reference gate :154-159 tests "was previously tracking"; a
@@ -513,12 +513,12 @@ def tracker_step(
 
         pred_dist = jnp.linalg.norm(predicted[:3, 3])
         min_a, max_a = _adaptive_blob_areas(config, pred_dist)
-        det = find_leds(image, roi, params, camera, min_a, max_a)
+        det = find_leds(image, roi, params, camera, min_a, max_a, threshold=dyn.threshold_value)
 
         # not enough LEDs -> grow ROI and retry once (:452-463)
         def retry(_):
             roi2 = grow_roi(roi, config.roi_retry_growth, config.roi_retry_growth, camera)
-            return find_leds(image, roi2, params, camera, min_a, max_a), roi2
+            return find_leds(image, roi2, params, camera, min_a, max_a, threshold=dyn.threshold_value), roi2
 
         det, roi = jax.lax.cond(
             det.count < config.min_num_leds_detected, retry, lambda _: (det, roi), None
@@ -861,12 +861,12 @@ def tracker_step(
         pix = project(camera, predicted, markers_h)
         roi = determine_roi(pix, marker_mask, camera, config.roi_border_thickness)
 
-        det = find_leds(image, roi, params, camera, min_a, None)
+        det = find_leds(image, roi, params, camera, min_a, None, threshold=dyn.threshold_value)
 
         # too few -> search the whole image once (:850-868)
         def full_image(_):
             full = jnp.asarray([0, 0, camera.width, camera.height], dtype)
-            return find_leds(image, full, params, camera, min_a, None), full
+            return find_leds(image, full, params, camera, min_a, None, threshold=dyn.threshold_value), full
 
         det, roi = jax.lax.cond(
             det.count < config.min_num_leds_detected, full_image, lambda _: (det, roi), None

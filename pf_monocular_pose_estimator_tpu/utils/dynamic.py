@@ -11,9 +11,10 @@ value is a zero-cost host->device transfer, exactly like a
 dynamic_reconfigure push.
 
 Parameters that shape the program itself (particle count, capacities,
-detection threshold baked into the Pallas kernel schedule, blob-area
-*defaults* promoted into the detection compile) stay static in
-TrackerConfig, as they do in the reference's launch-file tier.
+blur sigma — it sets the static tap count — blob-area *defaults*)
+stay static in TrackerConfig, as they do in the reference's
+launch-file tier; the detection threshold rides through the kernels'
+SMEM scalar block, so it is traced too.
 """
 
 from __future__ import annotations
@@ -54,6 +55,9 @@ class DynamicParams(NamedTuple):
     # init gating heuristics (pose_estimator.cpp:1557-1581)
     init_pair_distance_gate: jnp.ndarray
     init_cluster_radius: jnp.ndarray
+    # detection binarisation threshold (cfg:12) — traced into the
+    # detection kernels via their SMEM scalar block
+    threshold_value: jnp.ndarray
 
     @classmethod
     def from_config(cls, config: "TrackerConfig") -> "DynamicParams":
@@ -79,4 +83,5 @@ class DynamicParams(NamedTuple):
             jump_threshold=f(config.jump_threshold),
             init_pair_distance_gate=f(config.init_pair_distance_gate),
             init_cluster_radius=f(config.init_cluster_radius),
+            threshold_value=f(config.threshold_value),
         )

@@ -113,3 +113,30 @@ def test_noise_bounds_act_without_recompile():
     spread_a = float(jnp.std(state_a.bank[3]))
     spread_b = float(jnp.std(state_b.bank[3]))
     assert spread_b > 5 * max(spread_a, 1e-6)
+
+
+def test_threshold_retunes_without_recompile():
+    """The detection binarisation threshold (the reference's live-tunable
+    threshold_value, cfg:12) is traced through the detection kernels'
+    SMEM scalar block: retuning it changes what gets detected with no
+    recompile."""
+    camera = default_camera()
+    markers = demo_markers()
+    config = TrackerConfig(n_particles=64, min_blob_area=8.0, pf_max_retries=2)
+    mask = jnp.ones((markers.shape[0],), bool)
+    step = make_tracker(camera, markers, mask, config)
+    frame, state = _tracking_state(camera, markers, config, drift_angle=0.02)
+
+    dyn = DynamicParams.from_config(config)
+    t = jnp.asarray(0.04, jnp.float32)
+    _, res_a = step(state, frame, t, dyn=dyn)
+    n_compiles = step._cache_size()
+
+    # a threshold above every rendered splat's peak kills all detections
+    dyn_blind = dyn._replace(threshold_value=jnp.asarray(300.0, jnp.float32))
+    _, res_b = step(state, frame, t, dyn=dyn_blind)
+
+    assert step._cache_size() == n_compiles
+    assert int(res_a.num_detections) >= markers.shape[0] - 1
+    assert int(res_b.num_detections) == 0
+    assert not bool(res_b.pose_updated)
