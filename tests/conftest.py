@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (the jitted
+# tracker_step alone costs ~30-45 s per distinct shape/config signature), and
+# most tests recompile identical programs across pytest runs.  Cache entries
+# are keyed on the serialized HLO + compile options, so source edits that
+# change the program never hit a stale entry.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PFMPE_JAX_CACHE", os.path.expanduser("~/.cache/pfmpe_jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -159,6 +159,26 @@ def test_compiled_sharded_step_has_no_bank_scale_all_gather():
         f"(weights={weights_bytes}, bank={16 * weights_bytes})"
     )
 
+    # Positive budget (benchmarks/collective_volume.py records the full
+    # table): all traffic is the reach-limited ppermute ring (O(S) bank +
+    # CDF blocks) plus scalar all-gathers / psums.  Bound each family so
+    # a regression that routes bank-scale data through a different
+    # collective can't slip past the all-gather-only check above.
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from benchmarks.collective_volume import parse_collectives
+
+    acc = parse_collectives(hlo)
+    s_shard = n // 8
+    ring_budget = 3 * (2 * 1) * (16 * s_shard + s_shard) * 4  # 3x slack
+    assert acc["collective-permute"]["bytes"] <= ring_budget, acc
+    assert acc["all-gather"]["bytes"] <= 64 * 1024, acc
+    assert acc["all-reduce"]["bytes"] <= 16 * 1024, acc
+    assert acc["all-to-all"]["bytes"] <= 64 * 1024, acc
+    assert acc["reduce-scatter"]["bytes"] <= 16 * 1024, acc
+
 
 def test_compiled_resampler_has_no_bank_scale_all_gather():
     n = 8192
