@@ -26,15 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = [
     # (regex over the op_name metadata path, stage label) — first match wins
+    (r"fused_propagate_weight|pallas_weight|bank_layout_pin", "pf: fused propagate+weight"),
+    (r"gauss_newton", "pf: GN refine (pallas)"),
+    (r"detect_stats|threshold_blur", "detect: pallas front-end"),
+    (r"top_k", "detect: top-k components"),
     (r"searchsorted|sort|argsort", "resample (sort/searchsorted)"),
     (r"cumsum|reduce_window", "resample (cumsum) / cc sweeps"),
-    (r"pallas|threshold_blur", "detect: pallas threshold+blur"),
+    (r"pallas", "other pallas"),
     (r"conv", "detect: blur conv"),
-    (r"top_k", "detect: top-k components"),
     (r"dot|einsum", "matmuls (moments/GN/weight)"),
     (r"while", "loops"),
     (r"svd|qdwh|triangular|lu_", "linear algebra (check/GN)"),
-    (r"random|threefry", "prng"),
+    (r"random|threefry|_uniform", "prng"),
     (r"gather|take", "gathers"),
     (r"scatter", "scatters"),
 ]

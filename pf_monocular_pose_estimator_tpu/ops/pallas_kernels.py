@@ -140,59 +140,102 @@ def _make_detect_kernel(taps: np.ndarray, active: bool, sweeps: int,
         )
         lab = jnp.where(fg, flat, 0)
         for _ in range(sweeps):
-            m = lab
-            for dy in (-1, 0, 1):
-                for dx in (-1, 0, 1):
-                    if dy or dx:
-                        m = jnp.maximum(m, _shift2d(lab, dy, dx))
+            # separable 3x3 max: max over rows of the row-wise max
+            mx = jnp.maximum(lab, jnp.maximum(_shift2d(lab, 0, 1), _shift2d(lab, 0, -1)))
+            m = jnp.maximum(mx, jnp.maximum(_shift2d(mx, 1, 0), _shift2d(mx, -1, 0)))
             lab = jnp.where(fg, m, 0)
+
+        # Bias background labels to unique negatives so same-component
+        # tests are a single compare (no `& lab > 0`): background pixels
+        # never match each other (distinct negatives), never match
+        # foreground (positive), and zero-filled shift borders (0) match
+        # nothing.
+        lab_b = jnp.where(fg, lab, -(flat))
 
         # Windowed same-label accumulation via dynamic rolls inside
         # fori_loops (unrolling the (reach+1)x(2*reach+1) window would
         # emit ~10k ops and blow up Mosaic compile time).  Rolls wrap,
-        # but a wrapped-in pixel belongs to a different (or no)
-        # component, so the label-equality mask rejects it.
-        big = jnp.float32(1e9)
+        # but a wrapped-in pixel carries a biased label from a different
+        # position, so the single-compare equality rejects it.
         zeros = jnp.zeros((h, w), jnp.float32)
-        init = (zeros, zeros, zeros, jnp.full((h, w), big), jnp.full((h, w), -big),
-                jnp.full((h, w), big), jnp.full((h, w), -big))
+        init = (zeros, zeros, zeros)
         if second_moments:
             init = init + (zeros, zeros, zeros)
 
+        # The dy loop stays dynamic but the dx sweep is UNROLLED with
+        # static rolls, and the dy-dependent coefficients are factored
+        # out: the row pass accumulates only Sum(same), Sum(dx*same)
+        # [, Sum(dx^2*same)], which the dy level folds into the six
+        # global accumulators with scalar fdy coefficients.  Per window
+        # row that is (2r+1) x (roll + eq + 2-3 FMA) + a handful of
+        # row-level FMAs — ~2.3x fewer vector ops than accumulating all
+        # six moments per (dy, dx) offset.
+        rolled_y0 = pltpu.roll(lab_b, reach, 0)  # lab_b[p + (-reach, 0)]
+
         def dy_body(iy, carry):
+            rolled_y = carry[0]  # lab_b[p + (dy, 0)], dy = iy - reach
             dy = iy - reach  # dy in [-reach, 0]
-            rolled_y = pltpu.roll(lab, -dy, 0)  # rolled_y[p] = lab[p + (dy, 0)]
-
-            def dx_body(ix, carry):
-                dx = ix - reach  # dx in [-reach, reach]
-                cnt, sx, sy, xmin, xmax, ymin, ymax = carry[:7]
-                nb = pltpu.roll(rolled_y, -dx, 1)  # lab[p + (dy, dx)]
-                same = (nb == lab) & (lab > 0)
-                samef = same.astype(jnp.float32)
-                fdx = dx.astype(jnp.float32)
-                fdy = dy.astype(jnp.float32)
-                cnt = cnt + samef
-                sx = sx + fdx * samef
-                sy = sy + fdy * samef
-                xmin = jnp.where(same, jnp.minimum(xmin, fdx), xmin)
-                xmax = jnp.where(same, jnp.maximum(xmax, fdx), xmax)
-                ymin = jnp.where(same, jnp.minimum(ymin, fdy), ymin)
-                ymax = jnp.where(same, jnp.maximum(ymax, fdy), ymax)
-                out = (cnt, sx, sy, xmin, xmax, ymin, ymax)
+            fdy = dy.astype(jnp.float32)
+            cnt, sx, sy = carry[1:4]
+            if second_moments:
+                sxx, syy, sxy = carry[4:]
+            r_cnt = jnp.zeros((h, w), jnp.float32)
+            r_sx = jnp.zeros((h, w), jnp.float32)
+            r_sxx = jnp.zeros((h, w), jnp.float32) if second_moments else None
+            for ix in range(2 * reach + 1):
+                dx = ix - reach
+                nb = pltpu.roll(rolled_y, (w - dx) % w, 1)  # lab_b[p + (dy, dx)]
+                samef = (nb == lab_b).astype(jnp.float32)
+                fdx = jnp.float32(dx)
+                r_cnt = r_cnt + samef
+                r_sx = r_sx + fdx * samef
                 if second_moments:
-                    sxx, syy, sxy = carry[7:]
-                    sxx = sxx + fdx * fdx * samef
-                    syy = syy + fdy * fdy * samef
-                    sxy = sxy + fdx * fdy * samef
-                    out = out + (sxx, syy, sxy)
-                return out
+                    r_sxx = r_sxx + (fdx * fdx) * samef
+            cnt = cnt + r_cnt
+            sx = sx + r_sx
+            sy = sy + fdy * r_cnt
+            out = (cnt, sx, sy)
+            if second_moments:
+                sxx = sxx + r_sxx
+                syy = syy + (fdy * fdy) * r_cnt
+                sxy = sxy + fdy * r_sx
+                out = out + (sxx, syy, sxy)
+            return (pltpu.roll(rolled_y, h - 1, 0),) + out
 
-            return jax.lax.fori_loop(0, 2 * reach + 1, dx_body, carry)
-
-        acc_out = jax.lax.fori_loop(0, reach + 1, dy_body, init)
-        cnt, sx, sy, xmin, xmax, ymin, ymax = acc_out[:7]
+        acc_out = jax.lax.fori_loop(0, reach + 1, dy_body, (rolled_y0,) + init)
+        acc_out = acc_out[1:]
+        cnt, sx, sy = acc_out[:3]
         if second_moments:
-            sxx, syy, sxy = acc_out[7:]
+            sxx, syy, sxy = acc_out[3:]
+
+        # BBox extrema by same-label min/max propagation (post-
+        # convergence): extrema flow along in-component paths, and every
+        # member reached the root's label in <= `sweeps` steps, so
+        # `sweeps` more sweeps deliver every member's coordinates to the
+        # root.  8 ops per direction instead of 8 per window offset
+        # (~2.6x fewer vector ops than accumulating bbox inside the
+        # window loop above).  Values are ABSOLUTE pixel coordinates;
+        # consumers only use differences / root-relative offsets.
+        big = jnp.float32(1e9)
+        xmin = jnp.where(fg, xs, big)
+        xmax = jnp.where(fg, xs, -big)
+        ymin = jnp.where(fg, ys, big)
+        ymax = jnp.where(fg, ys, -big)
+
+        def bbox_body(_, carry):
+            xmin, xmax, ymin, ymax = carry
+            for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0),
+                           (1, 1), (1, -1), (-1, 1), (-1, -1)):
+                same = _shift2d(lab_b, dy, dx) == lab_b
+                xmin = jnp.where(same, jnp.minimum(xmin, _shift2d(xmin, dy, dx)), xmin)
+                xmax = jnp.where(same, jnp.maximum(xmax, _shift2d(xmax, dy, dx)), xmax)
+                ymin = jnp.where(same, jnp.minimum(ymin, _shift2d(ymin, dy, dx)), ymin)
+                ymax = jnp.where(same, jnp.maximum(ymax, _shift2d(ymax, dy, dx)), ymax)
+            return (xmin, xmax, ymin, ymax)
+
+        xmin, xmax, ymin, ymax = jax.lax.fori_loop(
+            0, sweeps, bbox_body, (xmin, xmax, ymin, ymax)
+        )
 
         lab_ref[:] = lab
         cnt_ref[:] = cnt
