@@ -260,6 +260,62 @@ def pick_lane(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(onehot, arr, 0), axis=-1)
 
 
+def stratified_resample_closed(key: jax.Array, weights: jnp.ndarray):
+    """Sort-free stratified resampling: the two 2N-element sorts of
+    `stratified_resample_soa` become a cumsum, six bandwidth-bound
+    gathers and one scatter-max.
+
+    Same draws, same assignment rule; NOT bit-identical to the sort
+    path: XLA lowers `cumsum` as a parallel scan whose per-element
+    association can leave 1-ulp NON-monotone pockets in the CDF.  The
+    sort path implicitly repairs them by value-sorting the CDF; this
+    path repairs them with an explicit `cummax`.  The two repairs
+    attribute the (measure-zero) draws landing inside a pocket to one
+    or the other of two ulp-separated particles — slot-level agreement
+    everywhere else (pinned with tolerance by tests/test_soa.py).
+
+    Closed form: the draws u_i = (i + eps_i)/n are a jittered uniform
+    grid, so `rank_j = #{i : u_i <= cdf_j}` — the number of draws at or
+    below each CDF entry — is found by probing u at a 6-wide index
+    window around k = floor(n * cdf_j):
+        rank_j = (k_c - 3) + sum_{d=-3..2} [u[k_c + d] <= cdf_j],
+        k_c = clip(k, 3, n - 3)
+    Exact for n <= 2^22: |n*u_i - i| < 1 + O(n * 2^-23) and
+    |fl(n*cdf) - n*cdf| <= (k+1)*2^-24 in f32, so every u index below
+    the window satisfies u <= cdf_j and every index above exceeds it
+    with a full grid unit of margin (the comparisons are the SAME f32
+    `u <= cdf` predicates the merge-sort path resolves, hence
+    bit-identical assignments).
+
+    Inversion: `ancestors[i] = #{j : rank_j <= i}` (the conjugate of
+    rank; equality ties resolve exactly like searchsorted 'left').  With
+    rank non-decreasing this is one scatter-max of j+1 into rank's value
+    slots followed by a cummax.  counts = first difference of rank.
+    """
+    n = weights.shape[0]
+    if n < 8 or n > (1 << 22):  # window-exactness bound; see docstring
+        return stratified_resample_soa(key, weights)
+    total = jnp.sum(weights)
+    safe = jnp.where(total > 0, total, 1.0)
+    w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
+    cdf = jax.lax.cummax(jnp.cumsum(w))  # repair parallel-scan ulp pockets
+    eps = jax.random.uniform(key, (n,), weights.dtype)
+    u = (jnp.arange(n, dtype=weights.dtype) + eps) / n
+
+    nf = jnp.asarray(n, weights.dtype)
+    k = jnp.floor(cdf * nf).astype(jnp.int32)
+    k_c = jnp.clip(k, 3, n - 3)
+    rank = k_c - 3
+    for d in (-3, -2, -1, 0, 1, 2):
+        rank = rank + (u[k_c + d] <= cdf).astype(jnp.int32)
+
+    iota1 = jnp.arange(1, n + 1, dtype=jnp.int32)
+    bins = jnp.zeros((n + 1,), jnp.int32).at[rank].max(iota1)
+    ancestors = jnp.clip(jax.lax.cummax(bins)[:n], 0, n - 1).astype(jnp.int32)
+    counts = jnp.diff(rank, prepend=jnp.zeros((1,), jnp.int32)).astype(jnp.int32)
+    return ancestors, counts, jnp.argmax(counts).astype(jnp.int32)
+
+
 def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     """Stratified resampling tuned for TPU: one merged two-key sort plus
     one stable tag sort yield BOTH the ancestors and the per-particle

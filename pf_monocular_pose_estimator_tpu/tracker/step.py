@@ -40,6 +40,7 @@ from ..pf.soa import (
     gather_soa,
     pick_lane,
     propagate_soa,
+    stratified_resample_closed,
     stratified_resample_soa,
     unpack,
     weight_particles_soa,
@@ -159,7 +160,10 @@ def _resample_and_refine(
         out = resample_fn(key, weights_norm, bank16)
         resampled16, most = out.resampled, out.most
     else:
-        anc, counts, most = stratified_resample_soa(key, weights_norm)
+        if config.use_closed_form_resample:
+            anc, counts, most = stratified_resample_closed(key, weights_norm)
+        else:
+            anc, counts, most = stratified_resample_soa(key, weights_norm)
         if jax.default_backend() != "cpu":
             # confine the gather's transposed-layout preference (see
             # pf.pallas_step.bank_layout_pin) to the gather itself:

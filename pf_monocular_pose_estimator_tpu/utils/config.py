@@ -86,6 +86,17 @@ class TrackerConfig:
     # and iterations in one dispatch instead of an unrolled ~70-op/iter
     # XLA body (~800 us/frame of issue overhead at the default budget)
     use_pallas_gn: bool = True
+    # sort-free stratified resampling (pf/soa.py::
+    # stratified_resample_closed): replaces the two 2N-element resample
+    # sorts with a cumsum + six gathers + one scatter-max.  Same draws
+    # and assignment rule; slot-level differences vs the sort path only
+    # inside 1-ulp non-monotone pockets of XLA's parallel-scan cumsum
+    # (~1e-4 of slots; see the function docstring and tests/test_soa.py).
+    # OFF by default: measured on v5e the in-situ 1-D lane gathers and
+    # the scatter-max serialise (721 -> 161 fps at N=100k) — XLA TPU
+    # gathers/scatters are only fast when a fusion elides them.  The
+    # sort path stays the TPU default; this one suits CPU backends.
+    use_closed_form_resample: bool = False
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
     expose_time_base: float = 2000.0

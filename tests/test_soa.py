@@ -144,3 +144,35 @@ def test_gather_soa(bank):
     np.testing.assert_array_equal(
         np.asarray(unpack(gather_soa(pack(bank), idx))), np.asarray(bank[idx])
     )
+
+
+def test_stratified_resample_closed_matches_sort_path():
+    """Sort-free resampler (pf/soa.py::stratified_resample_closed): same
+    draws and assignment rule as the sort path; slot differences only
+    inside 1-ulp non-monotone pockets of XLA's parallel-scan cumsum
+    (repaired by value-sort there, by cummax here)."""
+    from pf_monocular_pose_estimator_tpu.pf.soa import stratified_resample_closed
+
+    rng = np.random.default_rng(11)
+    for n, make in [
+        (257, lambda: rng.uniform(0, 1, 257)),
+        (8192, lambda: rng.exponential(1.0, 8192) * (rng.uniform(size=8192) > 0.5)),
+        (8192, lambda: np.zeros(8192)),
+        (8192, lambda: np.ones(8192)),
+        (100_000, lambda: rng.uniform(0, 1, 100_000) ** 4),
+    ]:
+        w = jnp.asarray(make(), jnp.float32)
+        key = jax.random.PRNGKey(n)
+        a1, c1, m1 = jax.jit(stratified_resample_soa)(key, w)
+        a2, c2, m2 = jax.jit(stratified_resample_closed)(key, w)
+        mismatch = float(np.mean(np.asarray(a1) != np.asarray(a2)))
+        assert mismatch <= 2e-3, mismatch
+        # the most-resampled pick must be (near-)identical: equal index,
+        # or an index whose copy count ties the max within 1
+        if int(m1) != int(m2):
+            assert abs(int(c1[int(m1)]) - int(c1[int(m2)])) <= 1
+        # counts are a valid copy profile: non-negative, sums to <= n
+        assert int(np.min(np.asarray(c2))) >= 0
+        assert int(np.sum(np.asarray(c2))) <= n
+        # ancestors monotone (canonical stratified assignment)
+        assert bool(np.all(np.diff(np.asarray(a2)) >= 0))
