@@ -260,10 +260,47 @@ def pick_lane(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.where(onehot, arr, 0), axis=-1)
 
 
+def _uniform_at(key: jax.Array, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Evaluate `jax.random.uniform(key, (n,), float32)[idx]` WITHOUT the
+    gather: recompute the threefry-2x32 counter stream at the probe
+    indices directly.
+
+    Why: a 1-D dynamic gather on the lane axis serialises on TPU
+    (measured ~0.6 ms for 6 x 100k probes in round 2 — more than the
+    two resample sorts it was meant to replace).  The threefry block
+    function is pure counter hashing, so `u[k]` is an elementwise
+    function of `k`: ~100 int32 VPU ops per probe, no data movement.
+
+    Replicates jax's exact pipeline (the `threefry_partitionable`
+    default: jax._src.prng._threefry_random_bits_partitionable +
+    jax._src.random._uniform, f32): the element at flat position k is
+    hashed from the 64-bit counter k split into two 32-bit words
+    (hi=0 for n < 2^32, lo=k), bits = o1 ^ o2, and bits map to floats
+    via `(bits >> 9) | 0x3f800000` bitcast minus 1.  Bit-equality with
+    the gather form is pinned by tests/test_soa.py (a jax upgrade that
+    changes the counter layout would be caught there).
+    """
+    from jax._src.prng import threefry2x32_p
+
+    del n  # the partitionable counter stream is shape-independent per element
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key  # raw uint32[2] threefry key
+    hi = jnp.zeros_like(idx, jnp.uint32)
+    lo = idx.astype(jnp.uint32)
+    o1, o2 = threefry2x32_p.bind(
+        kd[0].astype(jnp.uint32), kd[1].astype(jnp.uint32), hi, lo
+    )
+    bits = o1 ^ o2
+    fb = jax.lax.shift_right_logical(bits, jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
+
+
 def stratified_resample_closed(key: jax.Array, weights: jnp.ndarray):
     """Sort-free stratified resampling: the two 2N-element sorts of
-    `stratified_resample_soa` become a cumsum, six bandwidth-bound
-    gathers and one scatter-max.
+    `stratified_resample_soa` become a cumsum, six elementwise threefry
+    probe evaluations and one scatter-max.
 
     Same draws, same assignment rule; NOT bit-identical to the sort
     path: XLA lowers `cumsum` as a parallel scan whose per-element
@@ -278,19 +315,31 @@ def stratified_resample_closed(key: jax.Array, weights: jnp.ndarray):
     grid, so `rank_j = #{i : u_i <= cdf_j}` — the number of draws at or
     below each CDF entry — is found by probing u at a 6-wide index
     window around k = floor(n * cdf_j):
-        rank_j = (k_c - 3) + sum_{d=-3..2} [u[k_c + d] <= cdf_j],
+        rank_j = (k_c - 3) + sum_{d=-3..2} [u(k_c + d) <= cdf_j],
         k_c = clip(k, 3, n - 3)
     Exact for n <= 2^22: |n*u_i - i| < 1 + O(n * 2^-23) and
     |fl(n*cdf) - n*cdf| <= (k+1)*2^-24 in f32, so every u index below
     the window satisfies u <= cdf_j and every index above exceeds it
     with a full grid unit of margin (the comparisons are the SAME f32
     `u <= cdf` predicates the merge-sort path resolves, hence
-    bit-identical assignments).
+    bit-identical assignments).  The probes u(k) are recomputed from
+    the PRNG counter stream (`_uniform_at`), NOT gathered — the round-2
+    gather form lost ~0.6 ms/frame to serialised lane gathers.
 
     Inversion: `ancestors[i] = #{j : rank_j <= i}` (the conjugate of
     rank; equality ties resolve exactly like searchsorted 'left').  With
     rank non-decreasing this is one scatter-max of j+1 into rank's value
     slots followed by a cummax.  counts = first difference of rank.
+
+    Measured on TPU v5e (round 3, on-device scan slope at N=100k): the
+    probe rank is nearly free (cumsum 24 us + 6 probes 29 us vs the
+    167 us merge sort it replaces), but XLA TPU *scatter* serialises —
+    857 us for the scatter-max (613 us even with unique indices) — and
+    every scatter-free inversion of rank -> ancestors reduces to a
+    compaction, which costs another full sort (the two-sort scheme's
+    second sort does exactly this, 106 us).  Net: 945 us vs 323 us for
+    the sort path; this stays the default-off measured-negative
+    alternative (`use_closed_form_resample`).
     """
     n = weights.shape[0]
     if n < 8 or n > (1 << 22):  # window-exactness bound; see docstring
@@ -299,15 +348,15 @@ def stratified_resample_closed(key: jax.Array, weights: jnp.ndarray):
     safe = jnp.where(total > 0, total, 1.0)
     w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
     cdf = jax.lax.cummax(jnp.cumsum(w))  # repair parallel-scan ulp pockets
-    eps = jax.random.uniform(key, (n,), weights.dtype)
-    u = (jnp.arange(n, dtype=weights.dtype) + eps) / n
 
     nf = jnp.asarray(n, weights.dtype)
     k = jnp.floor(cdf * nf).astype(jnp.int32)
     k_c = jnp.clip(k, 3, n - 3)
     rank = k_c - 3
     for d in (-3, -2, -1, 0, 1, 2):
-        rank = rank + (u[k_c + d] <= cdf).astype(jnp.int32)
+        probe = k_c + d
+        u_probe = (probe.astype(weights.dtype) + _uniform_at(key, probe, n)) / nf
+        rank = rank + (u_probe <= cdf).astype(jnp.int32)
 
     iota1 = jnp.arange(1, n + 1, dtype=jnp.int32)
     bins = jnp.zeros((n + 1,), jnp.int32).at[rank].max(iota1)
