@@ -96,10 +96,19 @@ def main():
         state0 = TargetState.create(n_particles, jax.random.PRNGKey(0))
     state0 = jax.device_put(state0)
 
+    def sync(x):
+        # Force completion via a host fetch: through the axon tunnel
+        # `jax.block_until_ready` can return before the dispatched
+        # program has executed (observed round 3: a 120-frame scan
+        # "completed" in 0.5 ms), so the only reliable fence is reading
+        # a value back.  The fetch is one scalar — its cost is the
+        # tunnel round-trip, amortised over the frames in the scan.
+        return float(jnp.sum(x.fail_flag if hasattr(x, "fail_flag") else x))
+
     # Warm-up / compile
     t0 = time.perf_counter()
     state, (flags, updated, poses) = run_sequence(state0, frames, times)
-    jax.block_until_ready(state)
+    sync(flags)
     compile_s = time.perf_counter() - t0
 
     # Timed runs
@@ -107,7 +116,7 @@ def main():
     for _ in range(3):
         t0 = time.perf_counter()
         state, (flags, updated, poses) = run_sequence(state0, frames, times)
-        jax.block_until_ready(state)
+        sync(flags)
         best = min(best, time.perf_counter() - t0)
 
     fps = num_frames / best

@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STAGES = [
     # (regex over the op_name metadata path, stage label) — first match wins
+    (r"bank_top_pin|bank_restore_pin", "resample (gather layout pins)"),
     (r"fused_propagate_weight|pallas_weight|bank_layout_pin", "pf: fused propagate+weight"),
     (r"gauss_newton", "pf: GN refine (pallas)"),
     (r"detect_stats|threshold_blur", "detect: pallas front-end"),
@@ -169,11 +170,16 @@ def main():
     with open(os.path.join(args.trace_dir, "compiled_hlo.txt"), "w") as f:
         f.write(hlo_text)  # for offline op-id -> source attribution
 
+    def sync(x):
+        # host fetch as completion fence: through the axon tunnel
+        # block_until_ready can return before execution (see bench.py)
+        return float(jnp.sum(x))
+
     st, upd = compiled(state, frames, times)
-    jax.block_until_ready(st)
+    sync(upd)
     t0 = time.time()
     st, upd = compiled(state, frames, times)
-    jax.block_until_ready(st)
+    sync(upd)
     wall = time.time() - t0
     print(
         f"steady: {wall / args.frames * 1000:.2f} ms/frame "
@@ -181,8 +187,8 @@ def main():
     )
 
     with jax.profiler.trace(args.trace_dir):
-        st, _ = compiled(state, frames, times)
-        jax.block_until_ready(st)
+        st, upd = compiled(state, frames, times)
+        sync(upd)
 
     traces = sorted(glob.glob(os.path.join(args.trace_dir, "**/*.trace.json.gz"), recursive=True))
     attribute(traces[-1], hlo_text, args.frames)

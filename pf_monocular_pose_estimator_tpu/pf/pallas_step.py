@@ -41,7 +41,47 @@ from .propagate import NoiseBounds
 from .pallas_weight import _BIG, _weight_from_rows
 
 
-def _make_folded_kernel(m_cap: int, k_cap: int, block: int):
+def _threefry2x32(k0, k1, x0, x1):
+    """jax's threefry-2x32 block function (jax._src.prng.
+    _threefry2x32_lowering, unrolled form) on uint32 vectors — usable
+    inside a Pallas kernel.  Bit-identical to the XLA primitive."""
+
+    def rotl(v, d):
+        return (v << jnp.uint32(d)) | (v >> jnp.uint32(32 - d))
+
+    def rnd(x0, x1, r):
+        x0 = x0 + x1
+        x1 = rotl(x1, r)
+        return x0, x1 ^ x0
+
+    ks2 = k0 ^ k1 ^ jnp.uint32(0x1BD11BDA)
+    x0 = x0 + k0
+    x1 = x1 + k1
+    for r in (13, 15, 26, 6):
+        x0, x1 = rnd(x0, x1, r)
+    x0 = x0 + k1
+    x1 = x1 + ks2 + jnp.uint32(1)
+    for r in (17, 29, 16, 24):
+        x0, x1 = rnd(x0, x1, r)
+    x0 = x0 + ks2
+    x1 = x1 + k0 + jnp.uint32(2)
+    for r in (13, 15, 26, 6):
+        x0, x1 = rnd(x0, x1, r)
+    x0 = x0 + k0
+    x1 = x1 + k1 + jnp.uint32(3)
+    for r in (17, 29, 16, 24):
+        x0, x1 = rnd(x0, x1, r)
+    x0 = x0 + k1
+    x1 = x1 + ks2 + jnp.uint32(4)
+    for r in (13, 15, 26, 6):
+        x0, x1 = rnd(x0, x1, r)
+    x0 = x0 + ks2
+    x1 = x1 + k0 + jnp.uint32(5)
+    return x0, x1
+
+
+def _make_folded_kernel(m_cap: int, k_cap: int, block: int, n_total: int,
+                        draw_inkernel: bool):
     """Sublane-folded twin of `_make_fused_kernel` (want_pairs=False).
 
     Mosaic lays a (1, C) vector out with REPLICATED sublanes — one
@@ -56,13 +96,24 @@ def _make_folded_kernel(m_cap: int, k_cap: int, block: int):
     c8 = block // 8
 
     def kernel(scal_ref, mark_ref, dets_ref, downg_ref,
-               lr_ref, pin_ref, prop_ref, bank_ref, u01_ref,
+               lr_ref, pin_ref, prop_ref, keys_or_u01_ref, bank_ref,
                out_ref, w_ref):
+        if draw_inkernel:
+            keys_ref = keys_or_u01_ref
+        else:
+            u01_ref = keys_or_u01_ref
+
         def fold(ref, row):
             return jnp.concatenate(
                 [ref[row : row + 1, s * c8 : (s + 1) * c8] for s in range(8)],
                 axis=0,
             )
+
+        # --- global particle index of each folded element (also used to
+        # pin candidate lanes after the propagate) ---
+        iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 0)
+        iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 1)
+        glane = iota_s * c8 + iota_l + pl.program_id(0) * block
 
         # --- compose base = L @ (T @ R), same FMA order as the straight
         # kernel ---
@@ -82,10 +133,39 @@ def _make_folded_kernel(m_cap: int, k_cap: int, block: int):
                     acc = acc + lr_ref[0, i * 4 + k] * tr[k * 4 + j]
                 base.append(acc)
 
+        # --- uniform noise.  draw_inkernel=True (Mosaic/TPU builds):
+        # the (6, N) u01 tensor is a pure counter hash, so each folded
+        # element recomputes its own draw with the threefry block
+        # function — bit-identical to jax.random.uniform(k, (3, n)) via
+        # the partitionable counter stream (element p of the flat (3, n)
+        # array hashes counter words (hi=0, lo=p), bits = o1 ^ o2), and
+        # Mosaic performs no FP contraction so the downstream float math
+        # is unchanged.  Interpret/CPU builds keep the u01-as-input form:
+        # LLVM FMA-contracts the affine differently when the producer is
+        # inline, flipping ~half the draws by 1 ulp vs the XLA path.
+        if draw_inkernel:
+            glane_u = glane.astype(jnp.uint32)
+
+            def u01(row):
+                kidx = 0 if row < 3 else 2  # rows 0-2: k_rot, 3-5: k_trans
+                r = row if row < 3 else row - 3
+                k0 = keys_ref[0, kidx].astype(jnp.uint32)
+                k1 = keys_ref[0, kidx + 1].astype(jnp.uint32)
+                p = jnp.uint32(r * n_total) + glane_u
+                o1, o2 = _threefry2x32(k0, k1, jnp.zeros_like(p), p)
+                bits = o1 ^ o2
+                fb = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+                return jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
+
+        else:
+
+            def u01(row):
+                return fold(u01_ref, row)
+
         def unif(row):
             lo = prop_ref[0, 2 * row]
             hi = prop_ref[0, 2 * row + 1]
-            u = fold(u01_ref, row)
+            u = u01(row)
             return jnp.maximum(lo, u * (hi - lo) + lo)
 
         a = unif(0)
@@ -128,9 +208,6 @@ def _make_folded_kernel(m_cap: int, k_cap: int, block: int):
                     out.append(acc)
 
         # --- pin candidate lanes 0/1 (global particle index, folded) ---
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 0)
-        iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 1)
-        glane = iota_s * c8 + iota_l + pl.program_id(0) * block
         rows = []
         for i in range(16):
             r = jnp.where(glane == 0, pin_ref[0, i], out[i])
@@ -362,9 +439,6 @@ def fused_propagate_weight_pallas(
 
     # same key discipline as propagate_soa
     k_rot, k_trans = jax.random.split(key)
-    u_rot = jax.random.uniform(k_rot, (3, n), f32)
-    u_trans = jax.random.uniform(k_trans, (3, n), f32)
-    u01 = jnp.concatenate([u_rot, u_trans], axis=0)  # (6, N)
 
     eye = jnp.eye(4, dtype=f32)
     tracking = jnp.asarray(tracking)
@@ -430,7 +504,30 @@ def fused_propagate_weight_pallas(
         dets_smem = jnp.concatenate(
             [det.reshape(-1), detmask.reshape(-1)]
         ).reshape(1, 3 * k_cap)
-        kernel = _make_folded_kernel(m_cap, k_cap, block)
+
+        draw_inkernel = not interpret
+        if draw_inkernel:
+            # raw threefry key words for the in-kernel counter-stream draws
+            def _raw(k):
+                if jnp.issubdtype(k.dtype, jax.dtypes.prng_key):
+                    return jax.random.key_data(k)
+                return k
+
+            rand_arg = jax.lax.bitcast_convert_type(
+                jnp.concatenate([_raw(k_rot), _raw(k_trans)]).astype(jnp.uint32),
+                jnp.int32,
+            ).reshape(1, 4)
+            rand_spec = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)
+        else:
+            rand_arg = jnp.concatenate(
+                [
+                    jax.random.uniform(k_rot, (3, n), f32),
+                    jax.random.uniform(k_trans, (3, n), f32),
+                ],
+                axis=0,
+            )  # (6, N)
+            rand_spec = pl.BlockSpec((6, block), lambda i: (0, i), memory_space=space)
+        kernel = _make_folded_kernel(m_cap, k_cap, block, n, draw_inkernel)
         bank_out, w = pl.pallas_call(
             kernel,
             grid=(pl.cdiv(n, block),),
@@ -446,17 +543,21 @@ def fused_propagate_weight_pallas(
                 pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
                 pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
                 pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=smem),
+                rand_spec,
                 pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
-                pl.BlockSpec((6, block), lambda i: (0, i), memory_space=space),
             ],
             out_specs=[
                 pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
                 pl.BlockSpec((1, block), lambda i: (0, i), memory_space=space),
             ],
             interpret=interpret,
-        )(scal, mark, dets_smem, downg, lr, pin, prop,
-          resampled16.astype(f32), u01)
+        )(scal, mark, dets_smem, downg, lr, pin, prop, rand_arg,
+          resampled16.astype(f32))
         return bank_out, w[0]
+
+    u_rot = jax.random.uniform(k_rot, (3, n), f32)
+    u_trans = jax.random.uniform(k_trans, (3, n), f32)
+    u01 = jnp.concatenate([u_rot, u_trans], axis=0)  # (6, N)
 
     kernel = _make_fused_kernel(m_cap, k_cap, block, want_pairs)
     grid = (pl.cdiv(n, block),)
@@ -515,6 +616,67 @@ def fused_propagate_weight_pallas(
 
 def _pin_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...]
+
+
+def _top_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[0:12, :]
+
+
+def _restore_kernel(x_ref, o_ref):
+    o_ref[0:12, :] = x_ref[...]
+    z = jnp.zeros_like(x_ref[0:1, :])
+    o_ref[12:13, :] = z
+    o_ref[13:14, :] = z
+    o_ref[14:15, :] = z
+    o_ref[15:16, :] = z + 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def bank_top_pin(bank16: jnp.ndarray, block: int = 8192,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Layout-pinning copy of the TOP 12 rows of a (16, N) bank.
+
+    The flat16 rows 12-15 of every pose in the bank are the rigid-
+    transform bottom row (0, 0, 0, 1) — exactly, by construction: all
+    poses enter the bank from exp/compose/P3P paths that write the
+    constant row, and the propagate compose preserves it in f32
+    (row 3 of A @ B is B's row 3 when A's is (0,0,0,1)).  The
+    resampling gather therefore only needs the 12 varying rows: 25%
+    less HBM traffic through the pin -> gather -> restore chain.
+    Serves the same layout-confinement role as `bank_layout_pin`.
+    """
+    _, n = bank16.shape
+    block = min(block, ((n + 127) // 128) * 128)
+    # Mosaic requires sublane block dims divisible by 8 or equal to the
+    # array dim: read full (16, block) blocks, store only the 12 varying
+    # rows (the out array IS 12 rows, so its block passes the check).
+    return pl.pallas_call(
+        _top_kernel,
+        grid=(pl.cdiv(n, block),),
+        in_specs=[pl.BlockSpec((16, block), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((12, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((12, n), bank16.dtype),
+        interpret=interpret,
+    )(bank16)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def bank_restore_pin(top12: jnp.ndarray, block: int = 8192,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Inverse of `bank_top_pin`: (12, N) -> (16, N) with the constant
+    (0, 0, 0, 1) bottom-row entries re-synthesised in-kernel (rows
+    12-14 zeros, row 15 ones).  Also pins the default layout on the
+    gather result, replacing the second `bank_layout_pin`."""
+    _, n = top12.shape
+    block = min(block, ((n + 127) // 128) * 128)
+    return pl.pallas_call(
+        _restore_kernel,
+        grid=(pl.cdiv(n, block),),
+        in_specs=[pl.BlockSpec((12, block), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((16, block), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((16, n), top12.dtype),
+        interpret=interpret,
+    )(top12)
 
 
 @functools.partial(jax.jit, static_argnames=("block",))

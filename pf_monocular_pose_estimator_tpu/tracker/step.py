@@ -34,7 +34,11 @@ from ..pf.propagate import NoiseBounds, propagation_noise_factors
 from ..pf.refine import gauss_newton_refine
 from ..pf.pallas_weight import weight_particles_pallas
 from ..pf.pallas_refine import gauss_newton_refine_pallas
-from ..pf.pallas_step import bank_layout_pin, fused_propagate_weight_pallas
+from ..pf.pallas_step import (
+    bank_restore_pin,
+    bank_top_pin,
+    fused_propagate_weight_pallas,
+)
 from ..pf.weight import weight_particles
 from ..pf.soa import (
     gather_soa,
@@ -168,10 +172,12 @@ def _resample_and_refine(
             # confine the gather's transposed-layout preference (see
             # pf.pallas_step.bank_layout_pin) to the gather itself:
             # pinning BOTH sides lets XLA run the gather in its fast
-            # {0,1} row-major form (contiguous 64 B row reads) while the
+            # {0,1} row-major form (contiguous row reads) while the
             # conversions stay local instead of propagating {0,1}
-            # through every cond/while the bank crosses
-            resampled16 = bank_layout_pin(gather_soa(bank_layout_pin(bank16), anc))
+            # through every cond/while the bank crosses.  Only the 12
+            # varying rows travel through the chain; the constant
+            # (0,0,0,1) bottom row is re-synthesised by the restore pin.
+            resampled16 = bank_restore_pin(gather_soa(bank_top_pin(bank16), anc))
         else:
             resampled16 = gather_soa(bank16, anc)
 

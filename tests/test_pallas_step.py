@@ -191,3 +191,53 @@ def test_folded_kernel_bit_identical(seed, n, tracking, apply_pred):
     )
     np.testing.assert_array_equal(np.asarray(bank_f), np.asarray(bank_s))
     np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_s))
+
+
+def test_bank_top_restore_pin_roundtrip():
+    """The 12-row pin chain (bank_top_pin -> gather -> bank_restore_pin,
+    tracker/step.py resample path) equals the full-bank gather, given the
+    bank bottom-row invariant (flat16 rows 12-15 == (0,0,0,1))."""
+    from pf_monocular_pose_estimator_tpu.pf.soa import gather_soa
+    from pf_monocular_pose_estimator_tpu.pf.pallas_step import (
+        bank_restore_pin,
+        bank_top_pin,
+    )
+
+    n = 1024
+    keys = jax.random.split(jax.random.PRNGKey(3), n)
+    bank16 = jnp.stack([_random_pose(k).reshape(16) for k in keys[:8]], axis=1)
+    bank16 = jnp.tile(bank16, (1, n // 8))
+    anc = jax.random.randint(jax.random.PRNGKey(9), (n,), 0, n, jnp.int32)
+    anc = jnp.sort(anc)
+
+    want = gather_soa(bank16, anc)
+    # restore of the un-gathered top rows reproduces the bank
+    got = bank_restore_pin(bank_top_pin(bank16, interpret=True), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(bank16))
+    got2 = bank_restore_pin(
+        gather_soa(bank_top_pin(bank16, interpret=True), anc), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(got2), np.asarray(want))
+
+
+def test_tracker_bank_bottom_row_invariant():
+    """Every pose lane in the tracker's banks keeps the exact rigid
+    bottom row — the invariant the 12-row resample pin chain relies on."""
+    from pf_monocular_pose_estimator_tpu.io.synthetic import (
+        demo_markers,
+        make_orbit_sequence,
+    )
+    from pf_monocular_pose_estimator_tpu.tracker import TargetState, make_tracker
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+
+    markers = demo_markers()
+    mask = jnp.ones((markers.shape[0],), bool)
+    config = TrackerConfig(n_particles=512, min_blob_area=8.0, pf_max_retries=4)
+    seq = make_orbit_sequence(CAM, markers, num_frames=6, fps=50.0)
+    step = make_tracker(CAM, markers, mask, config)
+    state = TargetState.create(config.n_particles, jax.random.PRNGKey(0))
+    const = np.tile(np.array([0.0, 0.0, 0.0, 1.0], np.float32)[:, None], (1, 512))
+    for i in range(6):
+        state, _ = step(state, seq.frames[i], seq.times[i])
+        np.testing.assert_array_equal(np.asarray(state.bank[12:]), const)
+        np.testing.assert_array_equal(np.asarray(state.resampled[12:]), const)
