@@ -164,22 +164,44 @@ def _resample_and_refine(
         out = resample_fn(key, weights_norm, bank16)
         resampled16, most = out.resampled, out.most
     else:
-        if config.use_closed_form_resample:
-            anc, counts, most = stratified_resample_closed(key, weights_norm)
+
+        def do_resample(_):
+            if config.use_closed_form_resample:
+                anc, counts, most = stratified_resample_closed(key, weights_norm)
+            else:
+                anc, counts, most = stratified_resample_soa(key, weights_norm)
+            if jax.default_backend() != "cpu":
+                # confine the gather's transposed-layout preference (see
+                # pf.pallas_step.bank_layout_pin) to the gather itself:
+                # pinning BOTH sides lets XLA run the gather in its fast
+                # {0,1} row-major form (contiguous row reads) while the
+                # conversions stay local instead of propagating {0,1}
+                # through every cond/while the bank crosses.  Only the 12
+                # varying rows travel through the chain; the constant
+                # (0,0,0,1) bottom row is re-synthesised by the restore
+                # pin.
+                res16 = bank_restore_pin(gather_soa(bank_top_pin(bank16), anc))
+            else:
+                res16 = gather_soa(bank16, anc)
+            return res16, most
+
+        if config.resample_min_ess > 0.0:
+            # ESS-gated resampling (see TrackerConfig.resample_min_ess):
+            # skip the sorts + bank gather while the weight spread is
+            # healthy; the refine seed is then the argmax-weight lane
+            # (identical to the most-resampled lane in expectation).
+            ess_frac = 1.0 / (
+                jnp.sum(weights_norm * weights_norm)
+                * jnp.asarray(weights_norm.shape[0], weights_norm.dtype)
+            )
+            resampled16, most = jax.lax.cond(
+                ess_frac < config.resample_min_ess,
+                do_resample,
+                lambda _: (bank16, jnp.argmax(weights_norm).astype(jnp.int32)),
+                None,
+            )
         else:
-            anc, counts, most = stratified_resample_soa(key, weights_norm)
-        if jax.default_backend() != "cpu":
-            # confine the gather's transposed-layout preference (see
-            # pf.pallas_step.bank_layout_pin) to the gather itself:
-            # pinning BOTH sides lets XLA run the gather in its fast
-            # {0,1} row-major form (contiguous row reads) while the
-            # conversions stay local instead of propagating {0,1}
-            # through every cond/while the bank crosses.  Only the 12
-            # varying rows travel through the chain; the constant
-            # (0,0,0,1) bottom row is re-synthesised by the restore pin.
-            resampled16 = bank_restore_pin(gather_soa(bank_top_pin(bank16), anc))
-        else:
-            resampled16 = gather_soa(bank16, anc)
+            resampled16, most = do_resample(None)
 
     dtype = bank16.dtype
     pre_gn = pick_lane(bank16, most).reshape(4, 4)

@@ -97,6 +97,18 @@ class TrackerConfig:
     # gathers/scatters are only fast when a fusion elides them.  The
     # sort path stays the TPU default; this one suits CPU backends.
     use_closed_form_resample: bool = False
+    # ESS-gated resampling (engine extension; 0.0 = reference parity =
+    # resample every accepted frame).  When > 0, the stratified resample
+    # + bank gather (the two costliest non-kernel stages, ~0.45 ms/frame
+    # at N=100k on v5e) run only when the effective sample size fraction
+    # ESS/N = 1/(N*sum(w_norm^2)) of the CURRENT frame's weights falls
+    # below this threshold; otherwise the bank passes through unchanged
+    # and the refinement seed is the argmax-weight particle.  Standard
+    # particle-filter practice (adaptive/ESS-triggered resampling);
+    # self-regulating here because skipped resampling lets the cloud
+    # diffuse, which drives ESS down until a resample fires.  Weights
+    # are per-frame scores (as in the reference), not accumulated.
+    resample_min_ess: float = 0.0
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
     expose_time_base: float = 2000.0
@@ -243,6 +255,7 @@ class TrackerConfig:
             motion_prior_radius=0.0,
             marginal_margin_factor=0.0,
             split_merged_blobs=False,
+            resample_min_ess=0.0,
         )
         base.update(overrides)
         return cls(**base)

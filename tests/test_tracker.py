@@ -250,3 +250,58 @@ def test_initialise_prefer_near_gate_semantics(camera, markers, config):
         camera, det, markers, jnp.ones(5, bool), bank, config, prefer_near=far
     )
     np.testing.assert_array_equal(np.asarray(base.pose), np.asarray(fallback.pose))
+
+
+def test_ess_gated_resampling_skips_and_tracks():
+    """resample_min_ess > 0 (TrackerConfig): frames whose weight spread
+    is healthy skip the stratified resample + bank gather (the bank
+    passes through), and tracking quality is preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pf_monocular_pose_estimator_tpu.io.synthetic import (
+        default_camera,
+        demo_markers,
+        make_orbit_sequence,
+    )
+    from pf_monocular_pose_estimator_tpu.tracker import TargetState, make_tracker
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+
+    camera, markers = default_camera(), demo_markers()
+    mask = jnp.ones((markers.shape[0],), bool)
+    seq = make_orbit_sequence(camera, markers, num_frames=10, fps=50.0)
+
+    # near-zero threshold: ESS never falls below it, so every tracked
+    # frame skips the resample (the bank passes through)
+    config = TrackerConfig(
+        n_particles=1024, min_blob_area=8.0, pf_max_retries=4,
+        resample_min_ess=1e-6,
+    )
+    step = make_tracker(camera, markers, mask, config)
+    state = TargetState.create(config.n_particles, jax.random.PRNGKey(0))
+    tracked, skipped, errs = 0, 0, []
+    for i in range(10):
+        state, res = step(state, seq.frames[i], seq.times[i])
+        if bool(res.pose_updated):
+            tracked += 1
+            errs.append(float(jnp.linalg.norm(res.pose[:3, 3] - seq.poses[i][:3, 3])))
+            skipped += bool(jnp.all(state.resampled == state.bank))
+    assert tracked >= 8
+    assert skipped == tracked  # every tracked frame skipped the resample
+    assert np.median(errs) < 0.03  # still detector-noise-limited
+
+    # threshold above 1: ESS always falls below it, so resampling fires
+    # every frame (gate-active but behaviourally parity)
+    config2 = TrackerConfig(
+        n_particles=1024, min_blob_area=8.0, pf_max_retries=4,
+        resample_min_ess=1.0 + 1e-6,
+    )
+    step2 = make_tracker(camera, markers, mask, config2)
+    state2 = TargetState.create(config2.n_particles, jax.random.PRNGKey(0))
+    resampled_frames = 0
+    for i in range(10):
+        state2, res2 = step2(state2, seq.frames[i], seq.times[i])
+        if bool(res2.pose_updated):
+            resampled_frames += not bool(jnp.all(state2.resampled == state2.bank))
+    assert resampled_frames >= 8
