@@ -250,6 +250,7 @@ def _detect_blobs_fused(
     from .pallas_kernels import detect_stats_pallas
 
     h, w = img.shape
+    k_cap = params.max_detections
     outs = detect_stats_pallas(
         img,
         roi,
@@ -259,20 +260,22 @@ def _detect_blobs_fused(
         int(params.cc_sweeps),
         interpret=interpret,
         second_moments=bool(params.split_merged),
+        topk=k_cap,
+        min_area=min_area,
+        max_area=max_area,
     )
     if params.split_merged:
-        lab, cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy = outs
+        lab, cnt, sx, sy, xmin, xmax, ymin, ymax, sxx, syy, sxy, topk_out = outs
     else:
-        lab, cnt, sx, sy, xmin, xmax, ymin, ymax = outs
+        lab, cnt, sx, sy, xmin, xmax, ymin, ymax, topk_out = outs
         sxx = syy = sxy = jnp.zeros_like(cnt)
     flat = (jnp.arange(h * w, dtype=jnp.int32) + 1).reshape(h, w)
     is_root = lab == flat  # implies lab > 0
     area_map = jnp.where(is_root, cnt, 0.0).reshape(-1)
 
-    k_cap = params.max_detections
-    in_range = (area_map >= min_area) & (area_map <= max_area) & (area_map > 0)
-    score = jnp.where(in_range, area_map + jnp.float32(1e6), area_map)
-    _, top_idx = jax.lax.top_k(score, k_cap)
+    # component ranking computed in-kernel (lax.top_k semantics over the
+    # same score; see pallas_kernels._make_detect_kernel)
+    top_idx = topk_out[0]
     valid0 = area_map[top_idx] > 0
     comp_ids = jnp.where(valid0, top_idx.astype(jnp.int32) + 1, 0)
 

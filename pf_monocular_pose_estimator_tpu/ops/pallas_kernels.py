@@ -78,7 +78,7 @@ def _make_kernel(taps: np.ndarray, active: bool):
 
 
 def _make_detect_kernel(taps: np.ndarray, active: bool, sweeps: int,
-                        second_moments: bool = True):
+                        second_moments: bool = True, topk: int = 0):
     """Fused detection front-end: threshold -> blur -> connected-component
     label propagation -> per-label moment/bbox accumulation, one VMEM pass.
 
@@ -106,9 +106,12 @@ def _make_detect_kernel(taps: np.ndarray, active: bool, sweeps: int,
 
     def kernel(img_ref, roi_ref, lab_ref, cnt_ref, sx_ref, sy_ref,
                xmin_ref, xmax_ref, ymin_ref, ymax_ref,
-               *moment2_refs):
+               *rest_refs):
         if second_moments:
-            sxx_ref, syy_ref, sxy_ref = moment2_refs
+            sxx_ref, syy_ref, sxy_ref = rest_refs[:3]
+            rest_refs = rest_refs[3:]
+        if topk:
+            (topk_ref,) = rest_refs
         img = img_ref[:]
         h, w = img.shape
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(jnp.float32)
@@ -250,12 +253,48 @@ def _make_detect_kernel(taps: np.ndarray, active: bool, sweeps: int,
             syy_ref[:] = syy
             sxy_ref[:] = sxy
 
+        if topk:
+            # In-kernel component top-k (replaces the XLA lax.top_k sort
+            # over H*W elements, ~50 us at 192x256): iterative max with
+            # lowest-flat-index tie-break — exactly lax.top_k's ordering
+            # — over the root-ranking score blob.py builds (in-range
+            # components lifted by +1e6, everything non-root scores 0).
+            # k_cap serial reductions over a VMEM-resident map cost ~5 us.
+            flat0 = flat - 1  # 0-based flat index
+            min_area = roi_ref[0, 5]
+            max_area = roi_ref[0, 6]
+            is_root = lab == flat
+            area_map = jnp.where(is_root, cnt, 0.0)
+            in_range = (
+                (area_map >= min_area) & (area_map <= max_area) & (area_map > 0)
+            )
+            score = jnp.where(in_range, area_map + jnp.float32(1e6), area_map)
+            oob = jnp.int32(h * w)
+
+            col = jax.lax.broadcasted_iota(jnp.int32, (1, topk), 1)
+
+            def pick(t, carry):
+                score, acc = carry
+                m = jnp.max(score)
+                cand = jnp.where(score == m, flat0, oob)
+                idx_t = jnp.min(cand)
+                score = jnp.where(flat0 == idx_t, jnp.float32(-1.0), score)
+                acc = jnp.where(col == t, idx_t, acc)
+                return score, acc
+
+            _, acc = jax.lax.fori_loop(
+                0, topk, pick, (score, jnp.zeros((1, topk), jnp.int32))
+            )
+            topk_ref[...] = acc
+
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sigma", "active", "sweeps", "interpret", "second_moments"),
+    static_argnames=(
+        "sigma", "active", "sweeps", "interpret", "second_moments", "topk"
+    ),
 )
 def detect_stats_pallas(
     image: jnp.ndarray,
@@ -266,20 +305,36 @@ def detect_stats_pallas(
     sweeps: int = 12,
     interpret: bool = False,
     second_moments: bool = True,
+    topk: int = 0,
+    min_area=None,
+    max_area=None,
 ):
     """Fused threshold+blur+CC+moments.  Returns
     (labels i32, cnt, sum_dx, sum_dy, xmin, xmax, ymin, ymax) plus,
     when second_moments=True, (sum_dx2, sum_dy2, sum_dxdy) — all (H, W);
     component statistics are valid AT ROOT PIXELS (label == own index),
     offsets relative to the root (second moments feed the merged-blob
-    splitter)."""
+    splitter).  With topk > 0 (requires min_area/max_area, traced), a
+    final (1, topk) i32 output holds the top-k component root indices
+    under blob.py's ranking score — lax.top_k semantics, computed
+    in-kernel."""
     taps = _gaussian_kernel_1d(sigma)
     kernel = _make_detect_kernel(
-        taps, bool(active), int(sweeps), bool(second_moments)
+        taps, bool(active), int(sweeps), bool(second_moments), int(topk)
     )
+    if topk:
+        extras = jnp.stack(
+            [jnp.asarray(min_area, jnp.float32), jnp.asarray(max_area, jnp.float32)]
+        )
+    else:
+        extras = jnp.zeros((2,), jnp.float32)
     roi_smem = jnp.concatenate(
-        [roi.astype(jnp.float32).reshape(4), jnp.asarray(threshold, jnp.float32).reshape(1)]
-    ).reshape(1, 5)
+        [
+            roi.astype(jnp.float32).reshape(4),
+            jnp.asarray(threshold, jnp.float32).reshape(1),
+            extras,
+        ]
+    ).reshape(1, 7)
     h, w = image.shape
     f32 = jnp.float32
     space = pl.ANY if interpret else pltpu.VMEM
@@ -287,14 +342,18 @@ def detect_stats_pallas(
     out_shape = [jax.ShapeDtypeStruct((h, w), jnp.int32)] + [
         jax.ShapeDtypeStruct((h, w), f32) for _ in range(n_f32)
     ]
+    out_specs = [pl.BlockSpec(memory_space=space) for _ in range(1 + n_f32)]
+    if topk:
+        out_shape.append(jax.ShapeDtypeStruct((1, topk), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=space))
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=[
             pl.BlockSpec(memory_space=space),
-            pl.BlockSpec((1, 5), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 7), memory_space=pltpu.SMEM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=space) for _ in range(1 + n_f32)],
+        out_specs=out_specs,
         interpret=interpret,
     )(image.astype(jnp.float32), roi_smem)
 
