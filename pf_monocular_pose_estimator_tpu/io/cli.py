@@ -36,7 +36,14 @@ def build_parser():
     p.add_argument("--camera", type=str, help="camera calibration YAML")
     p.add_argument("--markers", type=str, help="marker positions YAML (reference schema)")
     p.add_argument("--markers-per-object", type=int, nargs="*", help="numberOfMarkersUAVk split")
-    p.add_argument("--sequence", type=str, help="npz with frames (T,H,W) and times (T,)")
+    p.add_argument(
+        "--sequence", type=str,
+        help="npz with frames (T,H,W) and times (T,), or a recorded .pfsq container",
+    )
+    p.add_argument(
+        "--record", type=str,
+        help="record the input sequence to this .pfsq container (rosbag-record analogue)",
+    )
     p.add_argument("--device", type=str, default=None, choices=[None, "cpu", "tpu"])
     p.add_argument("--occlusions", type=int, default=None)
     p.add_argument("--false-detections", type=int, default=None)
@@ -139,14 +146,24 @@ def main(argv=None):
 
     gt_poses = None
     if args.sequence:
-        data = np.load(args.sequence)
-        frames = jnp.asarray(data["frames"], jnp.float32)
-        times = jnp.asarray(
-            data["times"] if "times" in data else np.arange(frames.shape[0]) / args.fps,
-            jnp.float32,
-        )
-        if "poses" in data:
-            gt_poses = np.asarray(data["poses"])
+        if args.sequence.endswith(".pfsq"):
+            # recorded-sequence container (native mmap replay; the
+            # rosbag-play analogue — see io/seqio.py)
+            from ..io.seqio import SequenceReader
+
+            with SequenceReader(args.sequence) as reader:
+                f_np, t_np = reader.arrays()
+            frames = jnp.asarray(f_np, jnp.float32)
+            times = jnp.asarray(t_np, jnp.float32)
+        else:
+            data = np.load(args.sequence)
+            frames = jnp.asarray(data["frames"], jnp.float32)
+            times = jnp.asarray(
+                data["times"] if "times" in data else np.arange(frames.shape[0]) / args.fps,
+                jnp.float32,
+            )
+            if "poses" in data:
+                gt_poses = np.asarray(data["poses"])
     elif args.synthetic:
         seq = make_orbit_sequence(
             camera, markers, num_frames=args.frames, fps=args.fps, seed=args.seed
@@ -155,6 +172,17 @@ def main(argv=None):
     else:
         print("error: provide --synthetic or --sequence", file=sys.stderr)
         return 2
+
+    if args.record:
+        from ..io.seqio import record_sequence
+
+        record_sequence(
+            args.record,
+            np.clip(np.asarray(frames), 0, 255).astype(np.uint8),
+            np.asarray(times),
+        )
+        if not args.json:
+            print(f"recorded {frames.shape[0]} frames -> {args.record}")
 
     config = TrackerConfig(
         **{
