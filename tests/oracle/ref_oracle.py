@@ -722,3 +722,110 @@ def compute_transformation(object_points, reprojected_points):
     transform[:3, :3] = r_mat
     transform[:3, 3] = t
     return transform
+
+
+def p3p_short(
+    correspondences_given,
+    image_points,
+    object_points4,
+    fx,
+    fy,
+    cx,
+    cy,
+    back_projection_pixel_tolerance,
+    certainty_threshold=1.0,
+    valid_correspondence_threshold=0.5,
+    min_num_leds_detected=4,
+):
+    """pose_estimator.cpp:2506-2741 — short-P3P partial re-initialisation.
+
+    correspondences_given: (3,2) 1-based [led, detection].  Returns
+    (found, pose, correspondences or None, seeds, hist).  Faithful to the
+    reference's quirks: the third-point loops iterate ONE SHORT of the
+    available lists (`numOfRemainingImgPts = imgIdxAvl.size()-1`,
+    :2560-2561), so the LAST available detection/marker is never tried as
+    the third point; and the duplicate-solution skip uses the Eigen
+    `(a-b).all() == 0` idiom (skips when ANY entry coincides, :2629)."""
+    from itertools import combinations as it_combinations
+
+    corr = np.asarray(correspondences_given, np.int64).reshape(3, 2)
+    k_n = len(image_points)
+    m_n = len(object_points4)
+    if k_n < min_num_leds_detected:
+        return False, np.eye(4), None, [], None  # flag 13
+
+    image_vectors = calculate_image_vectors(image_points, fx, fy, cx, cy)
+    hist = np.zeros((k_n, m_n), np.int64)
+
+    for keep in it_combinations(range(3), 2):  # combinationsNoReplacement(.,2)
+        kept_d = [corr[keep[0], 1] - 1, corr[keep[1], 1] - 1]
+        kept_m = [corr[keep[0], 0] - 1, corr[keep[1], 0] - 1]
+        img_avl = [i for i in range(k_n) if i not in kept_d]
+        obj_avl = [i for i in range(m_n) if i not in kept_m]
+
+        # reference iterates size-1 (:2560-2561) — last candidate skipped
+        for i in range(len(img_avl) - 1):
+            third_d = img_avl[i]
+            fv = np.stack(
+                [image_vectors[kept_d[0]], image_vectors[kept_d[1]],
+                 image_vectors[third_d]], axis=-1)
+            unused_im_idx = [
+                kk for kk in range(k_n)
+                if kk not in kept_d and kk != third_d
+            ]
+            unused_im = [image_points[kk] for kk in unused_im_idx]
+
+            for j in range(len(obj_avl) - 1):
+                third_m = obj_avl[j]
+                wp = np.stack(
+                    [object_points4[kept_m[0]][:3], object_points4[kept_m[1]][:3],
+                     object_points4[third_m][:3]], axis=-1)
+                unused_obj_idx = [
+                    ll for ll in range(m_n)
+                    if ll not in kept_m and ll != third_m
+                ]
+                unused_obj = [object_points4[ll] for ll in unused_obj_idx]
+
+                sols, ok = p3p_compute_poses(fv, wp)
+                if not ok:
+                    continue
+                for k in range(4):
+                    if k > 0 and np.any(sols[k] == sols[k - 1]):
+                        continue  # Eigen (a-b).all()==0 idiom (:2629)
+                    h_o_c = np.eye(4)
+                    h_o_c[:3, :] = sols[k]
+                    if not np.all(np.isfinite(h_o_c)):
+                        continue
+                    t_c_o = np.linalg.inv(h_o_c)
+                    back = [project2d(p, t_c_o, fx, fy, cx, cy) for p in unused_obj]
+                    pairs, min_d = calculate_min_distances_and_pairs(unused_im, back)
+                    if min_d.min() < back_projection_pixel_tolerance:
+                        for mm in range(3):  # the given pairs vote (:2654-2659)
+                            hist[corr[mm, 1] - 1, corr[mm, 0] - 1] += 1
+                        for nn in range(len(min_d)):
+                            if min_d[nn] < back_projection_pixel_tolerance:
+                                im_idx = unused_im_idx[pairs[nn, 0] - 1]
+                                obj_idx = unused_obj_idx[pairs[nn, 1] - 1]
+                                hist[im_idx, obj_idx] += 1
+
+    if not hist.any():
+        return False, np.eye(4), None, [], hist  # flag 15
+
+    candidates = correspondences_from_histogram(hist, b_initialisation=False)
+    all_seeds = []
+    first = None
+    found = False
+    pose = np.eye(4)
+    for cand in candidates:
+        valid, p, seeds = check_correspondences(
+            cand, image_points, object_points4, fx, fy, cx, cy,
+            back_projection_pixel_tolerance, certainty_threshold,
+            valid_correspondence_threshold, min_num_corr=min_num_leds_detected,
+        )
+        all_seeds.extend(seeds)
+        if valid and first is None:  # firstMatch (:2709-2714)
+            first = cand
+            pose = p
+            found = True
+            break  # engine stops the seed walk at the first validated too
+    return found, pose, first, all_seeds, hist

@@ -11,6 +11,7 @@ the C++ — and require matching outputs:
   * optimisePose (Gauss-Newton)     <->  pf.refine.gauss_newton_refine
   * P3P::computePoses               <->  solvers.p3p (+ cv2.solveP3P)
   * exponentialMap / logarithmMap   <->  geometry.se3
+  * P3P_short recovery              <->  tracker.short_p3p
 
 Where the engine runs float32 and the oracle float64, tolerances cover
 only rounding — any semantic drift (matching order, penalties, gates)
@@ -439,3 +440,91 @@ def test_se3_maps_parity_vs_oracle():
         assert np.abs(t_ref - t_eng).max() < 1e-5
         back = np.asarray(log_se3(jnp.asarray(t_ref, jnp.float32)), np.float64)
         assert np.abs(back - ref.logarithm_map(t_ref)).max() < 1e-4
+
+
+# ----------------------------------------------------------- short-P3P
+def test_short_p3p_parity_vs_oracle():
+    """P3P_short (pose_estimator.cpp:2506-2741) vs tracker.short_p3p:
+    same 3 surviving pairs, same detections -> both recover, the same
+    marker->detection binding wins, and the poses agree to f32 noise.
+
+    The oracle is faithful to the reference's third-point loops running
+    one short of the available lists (:2560-2561); the engine enumerates
+    all candidates.  On a clean scene every vote targets the true
+    binding, so the ranked winner is identical either way.
+    """
+    from pf_monocular_pose_estimator_tpu.ops.blob import Detections
+    from pf_monocular_pose_estimator_tpu.tracker.short_p3p import short_p3p
+    from pf_monocular_pose_estimator_tpu.pf.soa import identity_bank16
+
+    rng = np.random.default_rng(11)
+    camera, markers, true_pose, det_all, _ = _scene(rng, k_extra=1, noise=0.3)
+    m = markers.shape[0]
+    k_cap = 8
+    k_real = len(det_all)  # 5 markers + 1 spurious
+    det_xy = np.zeros((k_cap, 2), np.float32)
+    det_xy[:k_real] = det_all
+    det_mask = np.zeros((k_cap,), bool)
+    det_mask[:k_real] = True
+    tol = 5.0
+
+    # 3 surviving (marker, detection) pairs: markers 0,1,2 <-> dets 0,1,2
+    given0 = np.asarray([[0, 0], [1, 1], [2, 2]], np.int64)  # 0-based
+
+    # --- oracle (1-based [led, det]) ---
+    found_o, pose_o, corr_o, seeds_o, hist_o = ref.p3p_short(
+        given0 + 1,
+        [det_all[i] for i in range(k_real)],
+        [np.asarray(markers[j], np.float64) for j in range(m)],
+        camera.fx, camera.fy, camera.cx, camera.cy,
+        back_projection_pixel_tolerance=tol,
+        min_num_leds_detected=4,
+    )
+    assert found_o
+    # oracle's winning binding, as det-for-marker
+    dfm_o = -np.ones((m,), np.int64)
+    for led, d in np.asarray(corr_o).reshape(-1, 2):
+        dfm_o[led - 1] = d - 1
+
+    # --- engine ---
+    det = Detections(
+        xy=jnp.asarray(det_xy),
+        xy_distorted=jnp.asarray(det_xy),
+        mask=jnp.asarray(det_mask),
+        area=jnp.where(jnp.asarray(det_mask), 30.0, 0.0),
+        occluded=jnp.zeros((k_cap,), bool),
+        injected=jnp.zeros((k_cap,), bool),
+    )
+    config = TrackerConfig(
+        n_particles=64,
+        back_projection_pixel_tolerance=tol,
+    )
+    res = short_p3p(
+        _camera(), det, markers, jnp.ones((m,), bool),
+        jnp.asarray(given0, jnp.int32), identity_bank16(64), config,
+    )
+    assert bool(res.success)
+    np.testing.assert_array_equal(np.asarray(res.det_for_marker), dfm_o)
+    # pose parity: f32 engine vs f64 oracle on the same validated binding
+    np.testing.assert_allclose(
+        np.asarray(res.pose)[:3, 3], pose_o[:3, 3], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.pose)[:3, :3], pose_o[:3, :3], atol=5e-3
+    )
+    # the refilled bank carries validated P3P seeds (lane 0 untouched)
+    assert bool(jnp.any(res.bank[:, 1:] != identity_bank16(64)[:, 1:]))
+
+    # --- negative case: too few detections -> both decline ---
+    det_few = det._replace(mask=jnp.asarray([True, True, True] + [False] * 5))
+    found_f, *_ = ref.p3p_short(
+        given0 + 1, [det_all[i] for i in range(3)],
+        [np.asarray(markers[j], np.float64) for j in range(m)],
+        camera.fx, camera.fy, camera.cx, camera.cy,
+        back_projection_pixel_tolerance=tol, min_num_leds_detected=4,
+    )
+    res_f = short_p3p(
+        _camera(), det_few, markers, jnp.ones((m,), bool),
+        jnp.asarray(given0, jnp.int32), identity_bank16(64), config,
+    )
+    assert not found_f and not bool(res_f.success)
