@@ -16,15 +16,19 @@ greedy weight matching (`pallas_weight._weight_from_rows`) on the rows
 it just produced — the propagated bank is written back out for the
 downstream best-iteration carry.
 
-Bit-exactness with the XLA path: the uniform noise is drawn OUTSIDE
-the kernel with the same `jax.random` keys/shapes as `propagate_soa`
-(raw u01; the kernel applies jax's exact `max(lo, u*(hi-lo)+lo)`
-minval/maxval affine), and every FMA chain replicates the expression
+Bit-exactness with the XLA path: the uniform noise uses the same
+`jax.random` key/counter discipline as `propagate_soa` — on TPU the
+folded kernel recomputes the threefry counter stream IN-KERNEL
+(bit-identical to `jax.random.uniform`; Mosaic performs no FP
+contraction), while interpret/CPU builds pass the raw u01 tensor in
+(LLVM FMA-contracts the affine differently with an inline producer) —
+and the kernel applies jax's exact `max(lo, u*(hi-lo)+lo)`
+minval/maxval affine.  Every FMA chain replicates the expression
 order of `compose_const_left/right`, `_rotation_entries` and the
 rotation-apply loop.  The only tolerated divergences are -0.0→+0.0
 flips from identity-compose terms and (on TPU) possible final-ulp
 differences in the Mosaic vs XLA sin/cos approximations — pinned by
-tests/test_pallas_step.py.
+tests/test_pallas_step.py and an on-hardware equivalence check.
 """
 
 from __future__ import annotations
