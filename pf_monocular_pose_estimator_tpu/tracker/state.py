@@ -40,6 +40,9 @@ class TargetState(NamedTuple):
     # consistent pose lock (engine extension; see TrackerConfig.
     # degraded_reinit_frames)
     degraded_frames: jnp.ndarray  # int32
+    # consecutive coasted (rejected-but-kept) frames on a mature track
+    # (engine extension; see TrackerConfig.pf_coast_frames)
+    coast_frames: jnp.ndarray  # int32
     roi: jnp.ndarray  # (4,) [x0,y0,w,h]
     time_current: jnp.ndarray  # f32
     time_previous: jnp.ndarray  # f32
@@ -80,6 +83,7 @@ class TargetState(NamedTuple):
             it_since_initialized=jnp.zeros((), jnp.int32),
             uncertainty=jnp.zeros((), jnp.int32),
             degraded_frames=jnp.zeros((), jnp.int32),
+            coast_frames=jnp.zeros((), jnp.int32),
             roi=jnp.asarray([0, 0, image_size[0], image_size[1]], dtype),
             time_current=jnp.zeros((), dtype),
             time_previous=jnp.asarray(-1.0, dtype),

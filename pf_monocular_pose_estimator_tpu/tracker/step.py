@@ -786,6 +786,7 @@ def tracker_step(
             state = state._replace(
                 fail_flag=jnp.asarray(int(FailFlag.PF_SUCCESS), jnp.int32),
                 pose_updated=jnp.asarray(False),
+                coast_frames=jnp.zeros((), jnp.int32),
             )
             state = jax.lax.cond(
                 marginal, marginal_path, lambda s: s._replace(uncertainty=jnp.asarray(1, jnp.int32)), state
@@ -856,9 +857,24 @@ def tracker_step(
             )
 
         def on_reject(state: TargetState):
+            # Coast extension (TrackerConfig.pf_coast_frames): a mature
+            # track survives isolated rejected frames with its bank
+            # intact instead of paying the reference's immediate full
+            # reset (:707-719) + multi-frame re-init cascade.
+            if config.pf_coast_frames > 0:
+                coast = (state.it_since_initialized >= 2) & (
+                    state.coast_frames < config.pf_coast_frames
+                )
+            else:
+                coast = jnp.asarray(False)
             return state._replace(
                 uncertainty=state.uncertainty + 1,
-                it_since_initialized=jnp.asarray(0, jnp.int32),
+                it_since_initialized=jnp.where(
+                    coast, state.it_since_initialized, 0
+                ).astype(jnp.int32),
+                coast_frames=jnp.where(coast, state.coast_frames + 1, 0).astype(
+                    jnp.int32
+                ),
                 fail_flag=jnp.asarray(int(FailFlag.PF_NO_REASONABLE_PARTICLE), jnp.int32),
                 predicted_pose=pick_lane(bank16, best_idx).reshape(4, 4),
                 pose_updated=jnp.asarray(False),

@@ -185,6 +185,17 @@ class TrackerConfig:
     # poses indefinitely — its uncertainty ladder never fires above the
     # accept gate).
     degraded_reinit_frames: int = 12
+    # Coast through isolated PF rejections (engine extension; 0 =
+    # reference parity).  The reference resets the whole track the
+    # moment no particle clears the accept gate (:707-719) — on an
+    # outlier-heavy frame (occlusion + spurious blobs) that throws away
+    # a still-good particle bank and pays a 3-5 frame brute-force
+    # re-init cascade.  With coast > 0, a MATURE track (it_since_
+    # initialized == 2) survives up to this many consecutive rejected
+    # frames: the pose is not updated (pose_updated=False, flag 40 as
+    # in the reference) but the bank and prediction persist, so the
+    # next frame's PF re-acquires from the surviving particles.
+    pf_coast_frames: int = 2
     # a frame counts as degraded when the best weight is below
     # M * (M + offset) — i.e. not all markers matched at close range
     degraded_weight_offset: float = 0.5
@@ -256,6 +267,7 @@ class TrackerConfig:
             marginal_margin_factor=0.0,
             split_merged_blobs=False,
             resample_min_ess=0.0,
+            pf_coast_frames=0,
         )
         base.update(overrides)
         return cls(**base)

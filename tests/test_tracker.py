@@ -305,3 +305,61 @@ def test_ess_gated_resampling_skips_and_tracks():
         if bool(res2.pose_updated):
             resampled_frames += not bool(jnp.all(state2.resampled == state2.bank))
     assert resampled_frames >= 8
+
+
+def test_coast_survives_isolated_rejects_then_resets():
+    """pf_coast_frames (TrackerConfig): a mature track keeps its bank
+    through up to N consecutive rejected frames (flag 40, pose not
+    updated) instead of the reference's immediate full reset; one more
+    rejection forces the reset; the parity preset resets immediately."""
+    import jax
+    import jax.numpy as jnp
+
+    from pf_monocular_pose_estimator_tpu.io.synthetic import (
+        default_camera,
+        demo_markers,
+        make_orbit_sequence,
+    )
+    from pf_monocular_pose_estimator_tpu.tracker import TargetState, make_tracker
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+    from pf_monocular_pose_estimator_tpu.utils.flags import FailFlag
+
+    camera, markers = default_camera(), demo_markers()
+    mask = jnp.ones((markers.shape[0],), bool)
+    seq = make_orbit_sequence(camera, markers, num_frames=8, fps=50.0)
+    blank = jnp.zeros_like(seq.frames[0])
+
+    def mature(config):
+        step = make_tracker(camera, markers, mask, config)
+        state = TargetState.create(config.n_particles, jax.random.PRNGKey(0))
+        for i in range(4):
+            state, res = step(state, seq.frames[i], seq.times[i])
+        assert int(state.it_since_initialized) == 2
+        return step, state
+
+    config = TrackerConfig(n_particles=512, min_blob_area=8.0, pf_max_retries=3,
+                           pf_coast_frames=2)
+    step, state = mature(config)
+    t0 = float(state.time_current)
+    # two blank frames: rejected but coasted — the track survives
+    for k in range(2):
+        state, res = step(state, blank, t0 + 0.02 * (k + 1))
+        assert int(res.fail_flag) == int(FailFlag.PF_NO_REASONABLE_PARTICLE)
+        assert not bool(res.pose_updated)
+        assert int(state.it_since_initialized) == 2
+        assert int(state.coast_frames) == k + 1
+    # third consecutive rejection exhausts the budget: full reset
+    state, res = step(state, blank, t0 + 0.06)
+    assert int(state.it_since_initialized) == 0
+    # a good frame after coasting re-acquires without re-init
+    step2, state2 = mature(config)
+    state2, _ = step2(state2, blank, float(state2.time_current) + 0.02)
+    state2, res2 = step2(state2, seq.frames[5], seq.times[5])
+    assert bool(res2.pose_updated) and int(state2.coast_frames) == 0
+
+    # reference parity: first rejection resets immediately
+    config_p = TrackerConfig.reference_parity(
+        n_particles=512, min_blob_area=8.0, pf_max_retries=3)
+    step_p, state_p = mature(config_p)
+    state_p, res_p = step_p(state_p, blank, float(state_p.time_current) + 0.02)
+    assert int(state_p.it_since_initialized) == 0
