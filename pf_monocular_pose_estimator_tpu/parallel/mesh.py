@@ -72,6 +72,7 @@ def _state_shardings(mesh: Mesh, batched: bool = False):
         it_since_initialized=small,
         uncertainty=small,
         degraded_frames=small,
+        coast_frames=small,
         roi=small,
         time_current=small,
         time_previous=small,
