@@ -72,3 +72,25 @@ def test_cli_runs_experiment_with_overrides(capsys, tmp_path):
 
     frames = np.load(summary["video"])["frames"]
     assert frames.shape[0] == 6 and frames.ndim == 4  # (T, H, W, 3) overlays
+
+
+def test_cli_record_and_replay_pfsq(capsys, tmp_path):
+    """CLI --record writes the PFSQv1 container while running; --sequence
+    on that container replays it with matching tracking (the rosbag
+    record -> play loop)."""
+    from pf_monocular_pose_estimator_tpu.io.cli import main
+
+    seq_path = str(tmp_path / "run.pfsq")
+    rc = main(
+        ["--synthetic", "--frames", "5", "--particles", "500",
+         "--record", seq_path, "--json"]
+    )
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.getsize(seq_path) > 64  # header + frames
+
+    rc = main(["--sequence", seq_path, "--particles", "500", "--json"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["frames"] == 5
+    assert rep["tracked_frames"] >= rec["tracked_frames"] - 1
