@@ -390,6 +390,16 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     (unique), from which the pre-partition position — and with it the
     draws_leq count — is recovered bitwise instead of being carried as
     a second payload.
+
+    Round-3 measured negatives (v5e, slope-timed; both kept out):
+    (a) since u and cdf are each already sorted, sort #1 is logically a
+    MERGE — but an XLA-expressed bitonic merge network (log2(2N)=18
+    reshape+min/max stages) costs 647 us vs 173 us for the native sort
+    at N=100k: each stage is an HBM round trip, while lax.sort is one
+    tuned kernel.  (b) probe-computed ranks (see
+    `stratified_resample_closed`) make sort #1 redundant but every
+    inversion of rank -> ancestors is a compaction = another sort, and
+    XLA TPU scatter serialises (857 us per N-scatter-max).
     """
     n = weights.shape[0]
     total = jnp.sum(weights)
