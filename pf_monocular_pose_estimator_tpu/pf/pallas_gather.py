@@ -57,7 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_gather_kernel(b: int, w: int, n: int):
+def _make_gather_kernel(b: int, w: int):
     def kernel(starts_ref, anc_ref, bank_ref, out_ref, win_ref, sem):
         i = pl.program_id(0)
         # starts are pre-aligned to 128 (the HBM memref's lane tiling);
@@ -104,7 +104,7 @@ def monotone_gather_pallas(
     (`monotone_gather`) checks this and falls back otherwise."""
     _, n = bank16.shape
     nb = pl.cdiv(n, block)
-    kernel = _make_gather_kernel(block, window, n)
+    kernel = _make_gather_kernel(block, window)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb,),
