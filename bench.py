@@ -24,10 +24,11 @@ def main():
     ap.add_argument("--targets", type=int, default=1)
     # enough frames to amortise the fixed per-launch cost: in this
     # environment the TPU is reached over a tunnel whose ~35-40 ms
-    # round-trip would otherwise be billed to the frames (24 frames
-    # under-reported throughput by ~40%; the device timeline per the
-    # profiler trace is what a locally-attached chip would sustain)
-    ap.add_argument("--frames", type=int, default=120)
+    # round-trip would otherwise be billed to the frames (at 120 frames
+    # that is still ~0.3 ms/frame — a 480-frame scan reports within a
+    # few percent of the profiler's device timeline, which is what a
+    # locally-attached chip would sustain)
+    ap.add_argument("--frames", type=int, default=480)
     args = ap.parse_args()
 
     import jax
