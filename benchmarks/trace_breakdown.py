@@ -128,6 +128,11 @@ def main():
     ap.add_argument("--particles", type=int, default=100_000)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--trace-dir", default="/tmp/pf_trace_breakdown")
+    ap.add_argument(
+        "--sharded", action="store_true",
+        help="profile the mesh-sharded step on a 1-device mesh "
+        "(shard_map'd Pallas PF kernel + distributed resampler)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -154,15 +159,35 @@ def main():
     frames = jax.device_put(seq.frames)
     times = jax.device_put(seq.times)
 
+    pf_fn = wrap = resampler = None
+    if args.sharded:
+        from pf_monocular_pose_estimator_tpu.parallel.mesh import (
+            _spmd_hooks,
+            make_mesh,
+            shard_target_state,
+        )
+        from pf_monocular_pose_estimator_tpu.parallel.resample import (
+            make_distributed_resampler,
+        )
+
+        mesh = make_mesh(particle_devices=1, target_devices=1)
+        config, pf_fn, wrap = _spmd_hooks(camera, config, mesh, "auto")
+        resampler = make_distributed_resampler(mesh, args.particles, reach=1)
+
     @jax.jit
     def run(state, frames, times):
         def body(st, ft):
             f, t = ft
-            st, res = tracker_step(st, f, t, camera, markers, mask, config)
+            st, res = tracker_step(
+                st, f, t, camera, markers, mask, config,
+                resample_fn=resampler, pf_fn=pf_fn, wrap_replicated=wrap,
+            )
             return st, res.pose_updated
         return jax.lax.scan(body, state, (frames, times))
 
     state = TargetState.create(config.n_particles, jax.random.PRNGKey(0))
+    if args.sharded:
+        state = shard_target_state(state, mesh)
     lowered = run.lower(state, frames, times)
     compiled = lowered.compile()
     hlo_text = compiled.as_text()

@@ -95,6 +95,40 @@ def shard_target_state(state: TargetState, mesh: Mesh, batched: bool = False) ->
     )
 
 
+def _spmd_hooks(camera, config, mesh, pf_pallas):
+    """Resolve the tracker's SPMD hooks (pf_fn, wrap_replicated) and the
+    possibly-adjusted config for a mesh-sharded step.
+
+    pf_pallas: "auto" runs the shard_map'd fused Pallas kernel on TPU
+    backends (parallel.pf_kernels — single-chip kernel speed per shard);
+    "interpret" forces it in Pallas interpret mode (CPU equivalence
+    tests); "off" keeps the GSPMD-partitioned XLA SoA path (the round-3
+    behaviour).
+    """
+    from .pf_kernels import make_sharded_pf_fn, replicated
+
+    on_accel = jax.default_backend() != "cpu"
+    interpret = pf_pallas == "interpret"
+    use_pf = (
+        config.use_fused_pf_kernel
+        and pf_pallas != "off"
+        and (on_accel or interpret)
+    )
+    if use_pf:
+        pf_fn = make_sharded_pf_fn(mesh, camera, config, interpret=interpret)
+    else:
+        pf_fn = None
+        # no shard_map hook -> the bank-wide kernels must not reach GSPMD
+        config = dataclasses.replace(
+            config, use_pallas_weight=False, use_fused_pf_kernel=False
+        )
+    # replicated-operand Pallas (detect front-end, batched GN) rides a
+    # manual-sharding wrapper on accelerators; on CPU the backend gates
+    # inside the tracker skip Pallas anyway
+    wrap = (lambda fn: replicated(mesh, fn)) if on_accel else None
+    return config, pf_fn, wrap
+
+
 def make_sharded_tracker(
     camera: Camera,
     markers_h,
@@ -102,6 +136,7 @@ def make_sharded_tracker(
     config: TrackerConfig,
     mesh: Mesh,
     resample_reach: int = 1,
+    pf_pallas: str = "auto",
 ):
     """Jitted single-target step with the bank sharded over 'particles'.
 
@@ -113,17 +148,16 @@ def make_sharded_tracker(
     (`parallel.resample`): scalar-only global collectives + a
     reach-limited ppermute ring — never an all-gather of the (16, N)
     bank (pinned by tests/test_distributed_resample.py's HLO check).
+    The PF propagate+weight runs the fused Pallas kernel PER SHARD via
+    shard_map (`parallel.pf_kernels`) — the sharded program keeps
+    single-chip kernel speed instead of falling back to the XLA SoA
+    path (see pf_pallas in `_spmd_hooks`).
     """
     from .resample import make_distributed_resampler
 
     markers_h = jnp.asarray(markers_h)
     marker_mask = jnp.asarray(marker_mask, bool)
-    # GSPMD cannot auto-partition a pallas_call over the sharded lane
-    # axis; the XLA SoA paths partition cleanly (elementwise +
-    # per-shard reductions), so the sharded step always uses them
-    config = dataclasses.replace(
-        config, use_pallas_weight=False, use_fused_pf_kernel=False, use_pallas_gn=False
-    )
+    config, pf_fn, wrap = _spmd_hooks(camera, config, mesh, pf_pallas)
     specs = _state_shardings(mesh)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())
@@ -134,7 +168,7 @@ def make_sharded_tracker(
     def _step(state, image, t):
         return tracker_step(
             state, image, t, camera, markers_h, marker_mask, config,
-            resample_fn=resampler,
+            resample_fn=resampler, pf_fn=pf_fn, wrap_replicated=wrap,
         )
 
     return jax.jit(
@@ -151,6 +185,7 @@ def make_sharded_multi_tracker(
     marker_masks,  # (T, M)
     config: TrackerConfig,
     mesh: Mesh,
+    pf_pallas: str = "auto",
 ):
     """Multi-target step: targets vmapped and sharded over 'targets',
     each target's bank sharded over 'particles'.
@@ -161,9 +196,9 @@ def make_sharded_multi_tracker(
     """
     markers_h = jnp.asarray(markers_h)
     marker_masks = jnp.asarray(marker_masks, bool)
-    config = dataclasses.replace(
-        config, use_pallas_weight=False, use_fused_pf_kernel=False, use_pallas_gn=False
-    )
+    # the pf_fn hook takes the marker set as a traced operand, so one
+    # hook serves every target under the vmap
+    config, pf_fn, wrap = _spmd_hooks(camera, config, mesh, pf_pallas)
     specs = _state_shardings(mesh, batched=True)
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())
@@ -176,7 +211,8 @@ def make_sharded_multi_tracker(
 
     def _one(state, image, t, markers, mask):
         return tracker_step(
-            state, image, t, camera, markers, mask, config, resample_fn=resampler
+            state, image, t, camera, markers, mask, config,
+            resample_fn=resampler, pf_fn=pf_fn, wrap_replicated=wrap,
         )
 
     def _step(states, image, t):

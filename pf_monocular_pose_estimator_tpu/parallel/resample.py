@@ -1,40 +1,52 @@
 """Distributed stratified resampling — explicit collectives, no bank gather.
 
-SURVEY.md §7 hard-part 4.  Round 1 left resampling to GSPMD's default
-partitioning of `cumsum` + `searchsorted` over the sharded weight
-vector, which is free to all-gather both the weights and the whole
-(16, N) bank.  This module implements the designed mechanism inside a
-`shard_map` over the `particles` mesh axis:
+SURVEY.md §7 hard-part 4.  The mechanism runs inside a `shard_map` over
+the `particles` mesh axis:
 
-  1. **Global offsets from scalar collectives.**  Each shard reduces its
-     local weights to one scalar; one `all_gather` of P scalars (bytes:
-     4·P) gives every shard the global total and its exclusive prefix
-     `offset_s` — the shard's span [offset_s, offset_s + sum_s) in the
-     global CDF.
+  1. **Width-independent CDF from scalar collectives.**  Each shard
+     computes fixed-size-chunk partial sums of its weights with a
+     Hillis-Steele (fixed-association) cumulative sum, `all_gather`s the
+     n/chunk chunk sums (tiny), and rebuilds the global CDF values of
+     its own particles as f32(chunk_prefix) + f32(within-chunk prefix).
+     Because every FLOP's association is fixed by (n, chunk) alone —
+     never by the shard width — the CDF, the draws, and hence the whole
+     resampling assignment are BIT-IDENTICAL across mesh widths (the
+     round-3 scheme's local-cumsum+offset rounding made widths disagree
+     on ~1% of slots).  The CDF is normalised by the global total and
+     is monotone within a shard by construction (non-negative
+     fixed-tree adds; only chunk-prefix seams can carry ulp pockets).
   2. **Per-shard stratified draws with global positions.**  The global
-     draw grid u_g = (g + eps[g]) / N · total is a pure function of a
-     *replicated* PRNG key, so every shard evaluates any u_g locally
-     (zero communication).  Closed-form inversion of the grid (count of
-     draws ≤ x, see `_count_leq` below) gives each shard the
-     exact number of global copies of each of its local particles, and
-     `start_s = count_leq(offset_s)` gives the global output position of
-     its first copy — again with no communication.
-  3. **Ancestors via a reach-limited ppermute ring.**  The canonical
-     stratified assignment (output slot g takes global ancestor A[g],
-     A monotone) means output shard s draws only from input shards whose
-     CDF span overlaps its output window — its neighbours, unless the
-     per-shard weight imbalance exceeds a whole shard's worth of draws.
-     Each shard therefore `ppermute`s its (16, S) bank block and local
-     CDF to its 2R ring neighbours and fills its output slots by masked
-     local gathers.  Traffic per shard: (2R+1)·17·S·4 bytes, independent
-     of P — versus (P-1)·16·S·4 for an all-gathered bank.  Draws whose
-     ancestor lies beyond the reach are clamped to the nearest covered
-     particle and counted in the returned diagnostics (zero in any
-     non-degenerate tracking state; `reach` is configurable).
+     draw grid u_g = fl((g + eps_g)/n) is a pure threefry counter hash
+     of the replicated key (`pf.soa._uniform_at` — no gather, no
+     communication), so each shard evaluates exactly its output
+     window's draws, and the closed-form grid inversion
+     (`_count_leq_norm`) yields the exact copy count of each local
+     particle — still with no communication.
+  3. **Ancestors via a reach-limited ppermute ring + one merge.**  The
+     canonical assignment (output slot g takes the first global CDF
+     entry >= u_g) means output shard s draws only from input shards
+     whose CDF span overlaps its output window — its ring neighbours,
+     unless per-shard weight imbalance exceeds a whole shard's worth of
+     draws.  Each shard ppermutes the 12 VARYING rows of its bank block
+     plus its CDF block to its ring neighbours (13·S floats per
+     neighbour — less than one naive 16·S bank block even at P=2), then
+     resolves all S of its draws against the concatenated neighbour
+     CDFs with the same two-sort merge scheme as
+     `pf.soa.stratified_resample_soa` (sorts, never searchsorted: XLA
+     TPU lowers `searchsorted(method="sort")` to an argsort + an
+     N-scatter, and scatter serialises — measured 1.1 ms per call at
+     N=100k, see the round-3 negative results) and gathers the ancestor
+     columns with ONE take from the concatenated block.  Draws whose
+     ancestor lies beyond the reach are clamped to the shard's
+     most-copied particle and counted in the returned diagnostics
+     (zero in any non-degenerate tracking state; `reach` is
+     configurable, and bit-reproducibility across widths holds exactly
+     when `clipped == 0`).
 
-With the same key, the canonical assignment makes the distributed
-result IDENTICAL to `pf.soa.stratified_resample_soa` (same ancestors in
-the same slot order), pinned by tests/test_distributed_resample.py.
+Pinned by tests/test_distributed_resample.py: slot-level agreement with
+the single-device resampler (tolerance: the chunked CDF rounds
+differently from XLA's cumsum), exact cross-width agreement, skew
+diagnostics, and the no-bank-all-gather HLO budget.
 """
 
 from __future__ import annotations
@@ -46,85 +58,207 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..pf.soa import _uniform_at
+
 
 class DistResampleOut(NamedTuple):
-    resampled: jnp.ndarray  # (16, N) sharded over 'particles'
+    # (16, N) sharded over 'particles'.  Only the 12 VARYING pose rows
+    # travel the ring; rows 12-15 of every output column are the
+    # re-synthesised rigid-transform bottom row (0, 0, 0, 1) — exact for
+    # any bank of poses (the invariant pf.pallas_step.bank_top_pin
+    # documents), NOT a generic row passthrough.
+    resampled: jnp.ndarray
     counts: jnp.ndarray  # (N,) global copy count per input particle
     most: jnp.ndarray  # replicated int32: global index of most-copied
     clipped: jnp.ndarray  # replicated int32: draws beyond the ring reach
 
 
-def _count_leq(x_scaled: jnp.ndarray, eps: jnp.ndarray, n: int) -> jnp.ndarray:
-    """Number of global draws u_g = (g + eps_g)/n (unit grid) with
-    u_g <= x_scaled, where x_scaled = x / total * n is the CDF value in
-    grid units.  Closed form: k + (eps_k <= x_scaled - k), k = floor."""
-    k = jnp.clip(jnp.floor(x_scaled).astype(jnp.int32), 0, n - 1)
-    frac = x_scaled - k.astype(x_scaled.dtype)
-    return jnp.clip(k + (eps[k] <= frac).astype(jnp.int32), 0, n)
+def _hillis_steele(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis with a FIXED association
+    tree (x[i] += x[i-k], k doubling): the result depends only on the
+    last-axis length, never on how XLA decomposes a scan — the
+    width-independence anchor of the chunked CDF.  Monotone
+    non-decreasing for non-negative inputs (each step adds monotone
+    non-negative terms)."""
+    c = x.shape[-1]
+    k = 1
+    while k < c:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k, 0)])[..., :c]
+        x = x + shifted
+        k *= 2
+    return x
 
 
-def _resample_shard(key, w, bank16, n: int, reach: int, axis: str):
+def _count_leq_norm(cdf_n: jnp.ndarray, key, n: int) -> jnp.ndarray:
+    """Number of global draws u_g = fl((g + eps_g)/n) with u_g <= cdf_n,
+    for normalised CDF values cdf_n in [0, 1].  Closed-form grid
+    inversion, exact for 8 <= n <= 2^22 (window-exactness bound — see
+    pf.soa.stratified_resample_closed); the probes recompute the
+    threefry counter stream elementwise, bit-identical to the draw
+    expression used for the output slots."""
+    nf = jnp.asarray(n, cdf_n.dtype)
+    k = jnp.clip(jnp.floor(cdf_n * nf).astype(jnp.int32), 0, n - 1)
+    k_c = jnp.clip(k, 3, n - 3)
+    cnt = k_c - 3
+    for d in (-3, -2, -1, 0, 1, 2):
+        probe = k_c + d
+        u_p = (probe.astype(cdf_n.dtype) + _uniform_at(key, probe, n)) / nf
+        cnt = cnt + (u_p <= cdf_n).astype(jnp.int32)
+    return jnp.clip(cnt, 0, n)
+
+
+def _ring_deltas(reach: int, p: int):
+    """Ring offsets [0, -1, +1, ...] deduplicated mod p (at p=2 the +1
+    neighbour IS the -1 neighbour — shipping it twice is why the
+    round-3 ring moved more bytes than a naive all-gather at P=2)."""
+    deltas, seen = [], set()
+    for d in [0] + [s * r for r in range(1, reach + 1) for s in (-1, 1)]:
+        if (d % p) not in seen:
+            seen.add(d % p)
+            deltas.append(d)
+    return deltas
+
+
+def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
     """shard_map body: w (S,), bank16 (16, S) are this shard's blocks."""
     p = jax.lax.axis_size(axis)
     s = w.shape[0]
     idx = jax.lax.axis_index(axis)
     dtype = w.dtype
+    s_chunks = s // chunk
+    n_chunks = n // chunk
 
-    # -- 1. scalar collectives -> global total + my offset
+    # -- 1. width-independent chunked CDF (normalised)
     local_sum = jnp.sum(w)
-    sums = jax.lax.all_gather(local_sum, axis)  # (P,) scalars
-    total = jnp.sum(sums)
+    total0 = jax.lax.psum(local_sum, axis)
     # degenerate total -> uniform weights, as stratified_resample_soa
-    w = jnp.where(total > 0, w, jnp.ones_like(w))
-    sums = jnp.where(total > 0, sums, jnp.full_like(sums, float(s)))
-    total = jnp.where(total > 0, total, jnp.asarray(float(s * p), dtype))
-    offsets = jnp.cumsum(sums) - sums  # exclusive prefix, (P,)
-    my_offset = offsets[idx]
+    w = jnp.where(total0 > 0, w, jnp.ones_like(w))
 
-    # -- 2. global draw grid (replicated key -> no communication)
-    eps = jax.random.uniform(key, (n,), dtype)
-    scale = n / total
-    local_cdf = jnp.cumsum(w) + my_offset  # (S,) global CDF values
-    cum_counts = _count_leq(local_cdf * scale, eps, n)  # (S,)
-    start_s = _count_leq(my_offset * scale, eps, n)  # scalar
+    within = _hillis_steele(w.reshape(s_chunks, chunk))  # (s_chunks, chunk)
+    chunk_sums = within[:, -1]  # (s_chunks,) fixed-tree f32
+    all_chunk_sums = jax.lax.all_gather(chunk_sums, axis).reshape(n_chunks)
+    # (n_chunks,) prefix: fixed length regardless of width -> same tree
+    prefix_incl = _hillis_steele(all_chunk_sums)
+    total = prefix_incl[-1]
+    prefix_excl = jnp.concatenate([jnp.zeros((1,), dtype), prefix_incl[:-1]])
+    my_chunk_off = jax.lax.dynamic_slice(prefix_excl, (idx * s_chunks,), (s_chunks,))
+    cdf = (my_chunk_off[:, None] + within).reshape(s)  # global CDF values
+    cdf_n = cdf / total  # normalised (<= 1.0; fl division is monotone)
+    # shard span boundaries in the same normalised domain (bound[k] =
+    # start of shard k; the last CDF entry of shard k-1 equals bound[k]
+    # bit-for-bit by construction)
+    bounds_n = prefix_excl[:: s_chunks] / total  # (P,) starts
+    # NOTE: prefix_excl has n_chunks entries; shard k starts at chunk
+    # k*s_chunks.  bounds_n[k] = normalised mass below shard k.
+
+    # -- 2. copy counts per local particle (closed-form, elementwise)
+    cum_counts = _count_leq_norm(cdf_n, key, n)  # (S,)
+    start_s = _count_leq_norm(bounds_n[idx][None], key, n)[0]
     counts = jnp.diff(cum_counts, prepend=start_s[None]).astype(jnp.int32)
 
-    # -- 3. fill my S output slots from ring neighbours
-    out_lo = idx * s  # my output window [out_lo, out_lo + s)
-    g = out_lo + jnp.arange(s)
-    u = (g.astype(dtype) + eps[g]) / n * total  # my draws' global CDF positions
+    # -- 3. my output window's draws (global grid, recomputed locally)
+    g = idx * s + jnp.arange(s)
+    nf = jnp.asarray(n, dtype)
+    u = (g.astype(dtype) + _uniform_at(key, g, n)) / nf  # (S,) non-decreasing
 
-    out = jnp.zeros_like(bank16)
-    filled = jnp.zeros((s,), bool)
-    anc_global = jnp.full((s,), -1, jnp.int32)
-
-    deltas = [0] + [d for r in range(1, reach + 1) for d in (-r, r)]
+    # -- 4. ring exchange: 12 varying bank rows + CDF block per neighbour
+    deltas = _ring_deltas(reach, p)
+    nsrc = len(deltas)
+    top12_local = bank16[:12]
+    blocks_bank, blocks_cdf, srcs = [], [], []
     for delta in deltas:
-        src = (idx - delta) % p  # shard whose block arrives here
         if delta == 0:
-            nb_bank, nb_cdf = bank16, local_cdf
+            nb_bank, nb_cdf = top12_local, cdf_n
         else:
             perm = [(i, (i + delta) % p) for i in range(p)]
-            nb_bank = jax.lax.ppermute(bank16, axis, perm)
-            nb_cdf = jax.lax.ppermute(local_cdf, axis, perm)
-        nb_offset = offsets[src]
-        nb_sum = sums[src]
-        in_span = (u > nb_offset) & (u <= nb_offset + nb_sum)
-        # ancestor within the neighbour block: first local_cdf >= u
-        local_anc = jnp.clip(
-            jnp.searchsorted(nb_cdf, u, side="left", method="sort"), 0, s - 1
-        )
-        take = in_span & ~filled
-        cols = jnp.take(nb_bank, local_anc, axis=1)  # (16, S)
-        out = jnp.where(take[None, :], cols, out)
-        anc_global = jnp.where(take, (src * s + local_anc).astype(jnp.int32), anc_global)
-        filled = filled | take
+            nb_bank = jax.lax.ppermute(top12_local, axis, perm)
+            nb_cdf = jax.lax.ppermute(cdf_n, axis, perm)
+        blocks_bank.append(nb_bank)
+        blocks_cdf.append(nb_cdf)
+        srcs.append((idx - delta) % p)
 
-    # draws beyond the reach: clamp to this shard's heaviest particle
-    n_clipped = jnp.sum((~filled).astype(jnp.int32))
-    fallback = jnp.argmax(counts)
-    out = jnp.where(filled[None, :], out, bank16[:, fallback][:, None])
+    # -- 5. per-block ancestor counts via the two-sort merge (no
+    # searchsorted: its sort method scatters, and TPU scatter serialises)
+    vals = jnp.concatenate([u] + blocks_cdf)  # ((nsrc+1)*S,)
+    bits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint32)
+    total_len = (nsrc + 1) * s
+    if nsrc <= 3:
+        # single-operand first sort: 2-bit code rides in the key (query
+        # code 0 sorts before bit-equal entries -> strict '<' counting)
+        code = jnp.concatenate(
+            [jnp.zeros((s,), jnp.uint32)]
+            + [jnp.full((s,), i + 1, jnp.uint32) for i in range(nsrc)]
+        )
+        key1 = (bits << jnp.uint32(2)) | code
+        (skey,) = jax.lax.sort((key1,), num_keys=1, is_stable=False)
+        scode = skey & jnp.uint32(3)
+    else:
+        code = jnp.concatenate(
+            [jnp.zeros((s,), jnp.uint32)]
+            + [jnp.full((s,), i + 1, jnp.uint32) for i in range(nsrc)]
+        )
+        key1 = (bits << jnp.uint32(1)) | (code > 0).astype(jnp.uint32)
+        _, scode = jax.lax.sort((key1, code), num_keys=1, is_stable=False)
+    block_counts = [
+        jnp.cumsum((scode == i + 1).astype(jnp.int32)) for i in range(nsrc)
+    ]
+    # compact queries (draw order) to the front: positions are unique,
+    # so the single-key second sort is exact
+    shift = max((total_len - 1).bit_length(), 1)
+    pos = jnp.arange(total_len, dtype=jnp.uint32)
+    key2 = ((scode > 0).astype(jnp.uint32) << jnp.uint32(shift)) | pos
+    sorted2 = jax.lax.sort(
+        tuple([key2] + block_counts), num_keys=1, is_stable=False
+    )
+    a_blocks = [c[:s] for c in sorted2[1:]]  # per-draw: #entries of block i < u
+
+    # -- 6. resolve each draw's source shard and local ancestor
+    # true shard of u: number of interior shard starts strictly below u
+    # (u exactly at a boundary belongs to the shard below — the span
+    # convention (lo, hi], matching 'first CDF >= u')
+    src_u = jnp.sum(
+        (u[None, :] > bounds_n[1:, None]).astype(jnp.int32), axis=0
+    )  # (S,) in [0, P)
+    slot_u = jnp.zeros((s,), jnp.int32)
+    found = jnp.zeros((s,), bool)
+    j_local = jnp.zeros((s,), jnp.int32)
+    for i in range(nsrc):
+        hit = src_u == srcs[i]
+        slot_u = jnp.where(hit, i, slot_u)
+        j_local = jnp.where(hit, a_blocks[i], j_local)
+        found = found | hit
+    # ulp seams at chunk boundaries can push the count to S; clamp to
+    # the last particle of the block (a one-ulp misattribution, same as
+    # the round-3 scheme's in-block clip)
+    j_local = jnp.clip(j_local, 0, s - 1)
+
+    n_clipped = jnp.sum((~found).astype(jnp.int32))
     clipped_total = jax.lax.psum(n_clipped, axis)
+    fallback = jnp.argmax(counts)
+
+    # -- 7. ONE gather from the concatenated neighbour blocks.  On TPU
+    # the gather is flanked by the Pallas layout pins: XLA prefers the
+    # transposed {0,1} layout for a lane-axis gather's operand/result,
+    # and without the pins that preference propagates out of the shard
+    # body into every carry the bank crosses (measured ~160 us per
+    # 8x-inflated bank copy at N=100k — same leak the unsharded path
+    # pins in tracker/step.py's do_resample).
+    cat12 = jnp.concatenate(blocks_bank, axis=1)  # (12, nsrc*S)
+    take_pos = jnp.where(found, slot_u * s + j_local, fallback)
+    if jax.default_backend() != "cpu":
+        from ..pf.pallas_step import bank_layout_pin, bank_restore_pin
+
+        out12 = jnp.take(bank_layout_pin(cat12), take_pos, axis=1)
+        out = bank_restore_pin(out12)
+    else:
+        out12 = jnp.take(cat12, take_pos, axis=1)
+        out = jnp.concatenate(
+            [
+                out12,
+                jnp.zeros((3, s), bank16.dtype),
+                jnp.ones((1, s), bank16.dtype),
+            ]
+        )
 
     # -- most-copied particle, globally (for the GN refinement pick)
     local_best = jnp.argmax(counts)
@@ -137,12 +271,46 @@ def _resample_shard(key, w, bank16, n: int, reach: int, axis: str):
     return out, counts, most, clipped_total
 
 
-def make_distributed_resampler(mesh: Mesh, n_particles: int, reach: int = 1, axis: str = "particles"):
+def _auto_chunk(n: int, p: int) -> int:
+    """Largest divisor of the shard size n/p that is <= 512.  For the
+    production bank sizes this lands on the same value at every width
+    (n=100k -> 500 for P in {1,2,4,8}; power-of-two n with S >= 512 ->
+    512), which is what cross-width bit-reproducibility needs; pass
+    `cdf_chunk` explicitly for exotic (n, P) combinations."""
+    s = n // p
+    for d in range(min(512, s), 0, -1):
+        if s % d == 0:
+            return d
+    return 1
+
+
+def make_distributed_resampler(
+    mesh: Mesh,
+    n_particles: int,
+    reach: int = 1,
+    axis: str = "particles",
+    cdf_chunk: int | None = None,
+):
     """Build `resample(key, weights, bank16) -> DistResampleOut` running
     the explicit scheme over `mesh`'s `axis`.  Call it inside or outside
     jit; weights (N,) and bank16 (16, N) should be sharded over `axis`.
-    """
-    body = partial(_resample_shard, n=n_particles, reach=reach, axis=axis)
+
+    cdf_chunk: the fixed CDF summation chunk (must divide the shard
+    size).  Two resamplers agree bit-for-bit across mesh widths iff
+    they use the same chunk (and no draw exceeds the reach)."""
+    p = mesh.shape[axis]
+    if cdf_chunk is None:
+        cdf_chunk = _auto_chunk(n_particles, p)
+    s = n_particles // p
+    assert s % cdf_chunk == 0, (
+        f"cdf_chunk={cdf_chunk} must divide the shard size {s}"
+    )
+    assert 8 <= n_particles <= (1 << 22), (
+        "closed-form grid inversion is exact only for 8 <= N <= 2^22"
+    )
+    body = partial(
+        _resample_shard, n=n_particles, reach=reach, chunk=cdf_chunk, axis=axis
+    )
     spec_w = P(axis)
     spec_b = P(None, axis)
 

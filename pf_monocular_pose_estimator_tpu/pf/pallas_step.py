@@ -100,7 +100,7 @@ def _make_folded_kernel(m_cap: int, k_cap: int, block: int, n_total: int,
     c8 = block // 8
 
     def kernel(scal_ref, mark_ref, dets_ref, downg_ref,
-               lr_ref, pin_ref, prop_ref, keys_or_u01_ref, bank_ref,
+               lr_ref, pin_ref, prop_ref, off_ref, keys_or_u01_ref, bank_ref,
                out_ref, w_ref):
         if draw_inkernel:
             keys_ref = keys_or_u01_ref
@@ -114,10 +114,13 @@ def _make_folded_kernel(m_cap: int, k_cap: int, block: int, n_total: int,
             )
 
         # --- global particle index of each folded element (also used to
-        # pin candidate lanes after the propagate) ---
+        # pin candidate lanes after the propagate).  off_ref carries the
+        # shard's lane offset when the kernel runs per-shard inside a
+        # shard_map over the particles mesh axis (0 unsharded), so the
+        # threefry counter stream and the lane-0/1 pins stay GLOBAL ---
         iota_s = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 0)
         iota_l = jax.lax.broadcasted_iota(jnp.int32, (8, c8), 1)
-        glane = iota_s * c8 + iota_l + pl.program_id(0) * block
+        glane = iota_s * c8 + iota_l + pl.program_id(0) * block + off_ref[0, 0]
 
         # --- compose base = L @ (T @ R), same FMA order as the straight
         # kernel ---
@@ -296,7 +299,7 @@ def _make_folded_kernel(m_cap: int, k_cap: int, block: int, n_total: int,
 def _make_fused_kernel(m_cap: int, k_cap: int, block: int,
                        want_pairs: bool = True):
     def kernel(scal_ref, mark_ref, det_ref, detmask_ref, downg_ref,
-               lr_ref, pin_ref, prop_ref, bank_ref, u01_ref,
+               lr_ref, pin_ref, prop_ref, off_ref, bank_ref, u01_ref,
                out_ref, w_ref, *rest):
         if want_pairs:
             pairs_ref, ncorr_ref, dist2_ref, used_ref = rest
@@ -373,10 +376,12 @@ def _make_fused_kernel(m_cap: int, k_cap: int, block: int,
                     acc = acc + base[i * 4 + 2] * rn[2 * 3 + j]
                     out.append(acc)
 
-        # --- pin candidate lanes 0/1 (global) to current/predicted ---
+        # --- pin candidate lanes 0/1 (global) to current/predicted;
+        # off_ref is the shard lane offset under shard_map (0 unsharded) ---
         glane = (
             jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
             + pl.program_id(0) * block
+            + off_ref[0, 0]
         )
         rows = []
         for i in range(16):
@@ -393,7 +398,8 @@ def _make_fused_kernel(m_cap: int, k_cap: int, block: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block", "interpret", "want_pairs", "folded")
+    jax.jit,
+    static_argnames=("block", "interpret", "want_pairs", "folded", "n_total"),
 )
 def fused_propagate_weight_pallas(
     key: jax.Array,
@@ -421,6 +427,8 @@ def fused_propagate_weight_pallas(
     interpret: bool = False,
     want_pairs: bool = True,
     folded: bool = False,
+    lane_offset=None,
+    n_total: int | None = None,
 ):
     """Fused twin of `propagate_soa` + `weight_particles_soa`: returns
     (bank16, weights (N,), pairs_soa (M, 2, N), n_corr (N,)).
@@ -432,17 +440,42 @@ def fused_propagate_weight_pallas(
 
     folded=True (want_pairs=False only) runs the sublane-folded kernel
     (`_make_folded_kernel`): bit-identical results, per-particle row
-    math at full (8, 128) vreg density instead of 1/8."""
+    math at full (8, 128) vreg density instead of 1/8.
+
+    lane_offset / n_total: for running the kernel PER SHARD inside a
+    shard_map over the particles mesh axis (parallel/pf_kernels.py).
+    `resampled16` is then the shard's (16, N/P) block, `lane_offset` the
+    traced global index of its first lane, and `n_total` the global bank
+    width.  The threefry counter stream and the lane-0/1 candidate pins
+    are evaluated at GLOBAL lane indices, so the sharded program draws
+    and pins bit-identically to the unsharded one."""
     m_cap = markers_h.shape[0]
     k_cap = det_xy.shape[0]
     n = resampled16.shape[1]
     f32 = jnp.float32
+    if n_total is None:
+        n_total = n
+    off = jnp.zeros((), jnp.int32) if lane_offset is None else jnp.asarray(
+        lane_offset, jnp.int32
+    )
+    off_arr = off.reshape(1, 1)
 
     if num_markers_score is None:
         num_markers_score = jnp.sum(marker_mask.astype(f32))
 
     # same key discipline as propagate_soa
     k_rot, k_trans = jax.random.split(key)
+
+    def _u01_rows(k):
+        """(3, n) u01 block at global flat positions [r*n_total + off + i]
+        — bit-identical to jax.random.uniform(k, (3, n_total))[:, off:off+n]
+        via the partitionable threefry counter stream (pf.soa._uniform_at)."""
+        if lane_offset is None and n_total == n:
+            return jax.random.uniform(k, (3, n), f32)
+        from .soa import _uniform_at
+
+        idx = off + jnp.arange(n, dtype=jnp.int32)
+        return jnp.stack([_uniform_at(k, r * n_total + idx, n_total) for r in range(3)])
 
     eye = jnp.eye(4, dtype=f32)
     tracking = jnp.asarray(tracking)
@@ -524,14 +557,10 @@ def fused_propagate_weight_pallas(
             rand_spec = pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=smem)
         else:
             rand_arg = jnp.concatenate(
-                [
-                    jax.random.uniform(k_rot, (3, n), f32),
-                    jax.random.uniform(k_trans, (3, n), f32),
-                ],
-                axis=0,
+                [_u01_rows(k_rot), _u01_rows(k_trans)], axis=0
             )  # (6, N)
             rand_spec = pl.BlockSpec((6, block), lambda i: (0, i), memory_space=space)
-        kernel = _make_folded_kernel(m_cap, k_cap, block, n, draw_inkernel)
+        kernel = _make_folded_kernel(m_cap, k_cap, block, n_total, draw_inkernel)
         bank_out, w = pl.pallas_call(
             kernel,
             grid=(pl.cdiv(n, block),),
@@ -547,6 +576,7 @@ def fused_propagate_weight_pallas(
                 pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
                 pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
                 pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=smem),
+                pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=smem),
                 rand_spec,
                 pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
             ],
@@ -555,13 +585,11 @@ def fused_propagate_weight_pallas(
                 pl.BlockSpec((1, block), lambda i: (0, i), memory_space=space),
             ],
             interpret=interpret,
-        )(scal, mark, dets_smem, downg, lr, pin, prop, rand_arg,
+        )(scal, mark, dets_smem, downg, lr, pin, prop, off_arr, rand_arg,
           resampled16.astype(f32))
         return bank_out, w[0]
 
-    u_rot = jax.random.uniform(k_rot, (3, n), f32)
-    u_trans = jax.random.uniform(k_trans, (3, n), f32)
-    u01 = jnp.concatenate([u_rot, u_trans], axis=0)  # (6, N)
+    u01 = jnp.concatenate([_u01_rows(k_rot), _u01_rows(k_trans)], axis=0)  # (6, N)
 
     kernel = _make_fused_kernel(m_cap, k_cap, block, want_pairs)
     grid = (pl.cdiv(n, block),)
@@ -594,6 +622,7 @@ def fused_propagate_weight_pallas(
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
             pl.BlockSpec((1, 32), lambda i: (0, 0), memory_space=smem),
             pl.BlockSpec((1, 12), lambda i: (0, 0), memory_space=smem),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=smem),
             pl.BlockSpec((16, block), lambda i: (0, i), memory_space=space),
             pl.BlockSpec((6, block), lambda i: (0, i), memory_space=space),
         ],
@@ -607,7 +636,7 @@ def fused_propagate_weight_pallas(
             pltpu.VMEM((k_cap, block), f32),
         ],
         interpret=interpret,
-    )(scal, mark, det, detmask, downg, lr, pin, prop,
+    )(scal, mark, det, detmask, downg, lr, pin, prop, off_arr,
       resampled16.astype(f32), u01)
 
     if not want_pairs:

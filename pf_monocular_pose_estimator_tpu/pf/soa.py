@@ -247,17 +247,28 @@ def gather_soa(bank16: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
 
 
 def pick_lane(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """arr[..., idx] for a single traced index via a one-hot reduction.
+    """arr[..., idx] for a single traced index via a one-hot dot.
 
     A dynamic-slice at a traced index on a lane-sharded array makes
-    GSPMD all-gather the whole operand; the masked sum lowers to a
-    shard-local reduce + scalar psum instead (same result, collective
-    cost O(output) not O(N)).  Used for every "pick one particle"
-    (best/most-resampled) access on bank-shaped arrays.
+    GSPMD all-gather the whole operand; the one-hot contraction lowers
+    to a shard-local partial dot + scalar psum instead (same result,
+    collective cost O(output) not O(N)).  A dot rather than a masked
+    `where`+`reduce_sum`: the reduce form makes XLA's layout assignment
+    prefer the transposed {0,1} layout for the (16, N) bank operand,
+    which then propagates into every while/cond carry the bank crosses
+    (~160 us per 8x-inflated bank copy at N=100k — the same leak class
+    pf.pallas_step.bank_layout_pin confines on the resample path); the
+    dot keeps the default layout.  Bit-exact: the one-hot row has a
+    single nonzero, so the contraction reproduces arr[..., idx] with no
+    rounding.  Used for every "pick one particle" (best/most-resampled)
+    access on bank-shaped arrays.
     """
     n = arr.shape[-1]
-    onehot = jnp.arange(n) == idx
-    return jnp.sum(jnp.where(onehot, arr, 0), axis=-1)
+    onehot = (jnp.arange(n) == idx).astype(arr.dtype)
+    return jax.lax.dot_general(
+        arr, onehot, (((arr.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _uniform_at(key: jax.Array, idx: jnp.ndarray, n: int) -> jnp.ndarray:

@@ -32,30 +32,39 @@ class InitResult(NamedTuple):
     flag: jnp.ndarray  # int32 FailFlag
 
 
-def _fill_bank_with_seeds(bank16, seeds, seed_mask, allow_pallas: bool = True):
+def _fill_bank_with_seeds(bank16, seeds, seed_mask):
     """Fill bank slots [1..N-1] by cycling valid seeds (slot 0 keeps the
     current pose), reproducing :1756-1760; unchanged if no seeds.
 
-    bank16: (16, N) SoA bank; seeds: (S, 4, 4); seed_mask: (S,)."""
+    bank16: (16, N) SoA bank; seeds: (S, 4, 4); seed_mask: (S,).
+
+    The seed pick is a one-hot MATMUL from the (16, S<=32) seed table,
+    not a lane gather: a bank-wide gather makes XLA's layout assignment
+    prefer the transposed {0,1} layout and propagate it into the
+    tracker's cond/scan carries (~160 us per 8x-inflated bank copy at
+    N=100k on every frame, even when this branch never executes), and
+    under GSPMD sharding it cannot be confined by a Pallas layout pin.
+    The matmul is bit-exact (single nonzero per column) and keeps the
+    default layout on every backend, sharded or not."""
     n = bank16.shape[1]
     # compact valid seeds to the front
     order = jnp.argsort(~seed_mask)  # valid first, stable
     seeds16 = seeds[order].reshape(-1, 16).T  # (16, S)
+    # invalid seeds can be NaN (unsolvable P3P); a gather never touched
+    # them, but the one-hot matmul multiplies every column by 0 and
+    # 0 * NaN = NaN — zero them (the pick index never selects them)
+    seeds16 = jnp.where(seed_mask[order][None, :], seeds16, 0.0)
+    s_cap = seeds16.shape[1]
     n_seeds = jnp.sum(seed_mask.astype(jnp.int32))
     idx = jnp.arange(n)
-    pick = seeds16[:, jnp.where(n_seeds > 0, (n - 1 - idx) % jnp.maximum(n_seeds, 1), 0)]
+    pick_idx = jnp.where(n_seeds > 0, (n - 1 - idx) % jnp.maximum(n_seeds, 1), 0)
+    onehot = (jnp.arange(s_cap)[:, None] == pick_idx[None, :]).astype(bank16.dtype)
+    pick = jax.lax.dot_general(
+        seeds16, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (16, N)
     use = (idx > 0) & (n_seeds > 0)
-    out = jnp.where(use[None, :], pick, bank16)
-    if allow_pallas and jax.default_backend() != "cpu":
-        # this bank-wide lane gather is the rare-branch sibling of the
-        # resampling gather: without the pin its {0,1} layout preference
-        # leaks into the tracker cond signature and the scan carry, and
-        # the HOT path then pays ~300 us/frame of 8x-inflated layout
-        # copies even on frames where this branch never executes
-        from ..pf.pallas_step import bank_layout_pin
-
-        out = bank_layout_pin(out)
-    return out
+    return jnp.where(use[None, :], pick, bank16)
 
 
 def initialise(
@@ -166,7 +175,7 @@ def initialise(
     seed_mask = seed_mask[order][:s_cap]
     new_bank = jax.lax.cond(
         any_success,
-        lambda: _fill_bank_with_seeds(bank, seeds, seed_mask, config.use_fused_pf_kernel),
+        lambda: _fill_bank_with_seeds(bank, seeds, seed_mask),
         lambda: bank,
     )
 

@@ -163,7 +163,7 @@ def short_p3p(
     seed_mask = seed_mask[order][: config.max_p3p_seeds]
     # keep the old bank when nothing validates (:2725-2726)
     new_bank = jax.lax.cond(
-        any_success, lambda: _fill_bank_with_seeds(bank, seeds, seed_mask, config.use_fused_pf_kernel), lambda: bank
+        any_success, lambda: _fill_bank_with_seeds(bank, seeds, seed_mask), lambda: bank
     )
 
     flag = jnp.where(

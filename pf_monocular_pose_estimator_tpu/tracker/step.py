@@ -146,6 +146,7 @@ def _resample_and_refine(
     predicted,
     pred_trustworthy,
     resample_fn=None,
+    wrap_replicated=None,
 ):
     """Resampling + GN refinement of the most-resampled particle
     (pose_estimator.cpp:668-703) + optimiseAndUpdatePose.
@@ -156,7 +157,11 @@ def _resample_and_refine(
     (M, 2, N) volume out of the PF loop.
     resample_fn: optional explicit resampler `(key, weights, bank16) ->
     (resampled16, most)`-like (parallel.resample.DistResampleOut) — the
-    mesh-sharded step plugs the distributed collective scheme in here."""
+    mesh-sharded step plugs the distributed collective scheme in here.
+    wrap_replicated: optional transform running a fn redundantly per
+    device under manual sharding (parallel.pf_kernels.replicated) — the
+    sharded step routes the replicated-operand GN Pallas kernel through
+    it so GSPMD never has to partition the custom call."""
     if "resample" in config.debug_skip:
         most = jnp.argmax(weights_norm)
         resampled16 = bank16
@@ -258,11 +263,17 @@ def _resample_and_refine(
 
     corr_masks = (dfm_h >= 0) & marker_mask[None, :]  # (H, M)
     if config.use_pallas_gn and jax.default_backend() != "cpu":
-        res = gauss_newton_refine_pallas(
-            camera,
+
+        def _gn(poses0, dxy, dfm_i, masks):
+            return gauss_newton_refine_pallas(
+                camera, poses0, markers_h, dxy, dfm_i, masks,
+                config.gn_max_iterations, config.gn_convergence_tol,
+            )
+
+        gn_call = _gn if wrap_replicated is None else wrap_replicated(_gn)
+        res = gn_call(
             jnp.broadcast_to(pre_gn[None], (dfm_h.shape[0], 4, 4)),
-            markers_h, det.xy, dfm_h.astype(jnp.int32), corr_masks,
-            config.gn_max_iterations, config.gn_convergence_tol,
+            det.xy, dfm_h.astype(jnp.int32), corr_masks,
         )
     else:
         corrs = jnp.concatenate(
@@ -350,13 +361,25 @@ def tracker_step(
     obs_time: jnp.ndarray | None = None,
     dyn: DynamicParams | None = None,
     resample_fn=None,
+    pf_fn=None,
+    wrap_replicated=None,
 ):
     """Advance one target by one frame.  Returns (state', FrameResult).
 
     `dyn` carries the runtime-tunable parameter tier as traced operands —
     pass a modified DynamicParams to retune tolerances/noise/gates
     between frames with NO recompilation (the dynamic_reconfigure
-    analogue); None bakes the config values in as constants."""
+    analogue); None bakes the config values in as constants.
+
+    SPMD hooks (all None for the single-device tracker; set by the
+    sharded constructors in parallel/mesh.py):
+      resample_fn — explicit distributed resampler (parallel.resample);
+      pf_fn — shard_map'd fused propagate+weight over the particles
+        mesh axis (parallel.pf_kernels.make_sharded_pf_fn), replacing
+        the in-line Pallas/SoA dispatch in pf_compute;
+      wrap_replicated — runs replicated-operand Pallas kernels (detect
+        front-end, batched GN) redundantly per device under manual
+        sharding so GSPMD never partitions a custom call."""
     if dyn is None:
         dyn = DynamicParams.from_config(config)
     dtype = state.current_pose.dtype
@@ -385,6 +408,13 @@ def tracker_step(
         bool,
     )[: markers_h.shape[0]]
 
+    def _detect_raw(image_, roi_, min_a_, max_a_, thr_):
+        return find_leds(image_, roi_, params, camera, min_a_, max_a_, threshold=thr_)
+
+    # every detection pass goes through this hook so the sharded step can
+    # run the Pallas detect front-end under manual sharding
+    detect = _detect_raw if wrap_replicated is None else wrap_replicated(_detect_raw)
+
     # ------------------------------------------------------------- INIT
     def init_branch(state: TargetState):
         key, k_faults = jax.random.split(state.key)
@@ -395,13 +425,13 @@ def tracker_step(
         )
         roi = grow_roi(state.roi, growth, growth, camera)
 
-        det = find_leds(image, roi, params, camera, threshold=dyn.threshold_value)
+        det = detect(image, roi, None, None, dyn.threshold_value)
         # second pass with PF-adaptive areas if too few (:154-159)
         pred_dist = jnp.linalg.norm(state.current_pose[:3, 3])
         min_a, max_a = _adaptive_blob_areas(config, pred_dist)
 
         def second_pass(_):
-            return find_leds(image, roi, params, camera, min_a, max_a, threshold=dyn.threshold_value)
+            return detect(image, roi, min_a, max_a, dyn.threshold_value)
 
         # second pass only when a previous track left a usable pose
         # (reference gate :154-159 tests "was previously tracking"; a
@@ -545,12 +575,12 @@ def tracker_step(
 
         pred_dist = jnp.linalg.norm(predicted[:3, 3])
         min_a, max_a = _adaptive_blob_areas(config, pred_dist)
-        det = find_leds(image, roi, params, camera, min_a, max_a, threshold=dyn.threshold_value)
+        det = detect(image, roi, min_a, max_a, dyn.threshold_value)
 
         # not enough LEDs -> grow ROI and retry once (:452-463)
         def retry(_):
             roi2 = grow_roi(roi, config.roi_retry_growth, config.roi_retry_growth, camera)
-            return find_leds(image, roi2, params, camera, min_a, max_a, threshold=dyn.threshold_value), roi2
+            return detect(image, roi2, min_a, max_a, dyn.threshold_value), roi2
 
         det, roi = jax.lax.cond(
             det.count < config.min_num_leds_detected, retry, lambda _: (det, roi), None
@@ -589,6 +619,31 @@ def tracker_step(
                 1.0 + dyn.noise_inflation_per_10_iters * jnp.floor(it / 10.0)
             ).astype(dtype)
             apply_pred = tracking & ((it % 10) != 0)
+            if pf_fn is not None:
+                # sharded step: shard_map'd fused Pallas kernel, each
+                # shard on its local bank block with global draws/pins
+                return pf_fn(
+                    k,
+                    resampled16,
+                    state.current_pose,
+                    predicted,
+                    prediction,
+                    cam_move_inv,
+                    noise,
+                    fac_t,
+                    fac_r,
+                    tracking,
+                    apply_pred,
+                    inflation,
+                    markers_h,
+                    marker_mask,
+                    det.xy,
+                    det.mask,
+                    dyn.back_projection_pixel_tolerance_pf.astype(dtype),
+                    dyn.back_projection_pixel_tolerance.astype(dtype),
+                    downgrade,
+                    m_f,
+                )
             if (
                 config.use_fused_pf_kernel
                 and jax.default_backend() != "cpu"
@@ -844,6 +899,7 @@ def tracker_step(
                     predicted,
                     pred_trustworthy,
                     resample_fn,
+                    wrap_replicated,
                 )
                 state = state._replace(
                     fail_flag=jnp.where(
@@ -909,12 +965,12 @@ def tracker_step(
         pix = project(camera, predicted, markers_h)
         roi = determine_roi(pix, marker_mask, camera, config.roi_border_thickness)
 
-        det = find_leds(image, roi, params, camera, min_a, None, threshold=dyn.threshold_value)
+        det = detect(image, roi, min_a, None, dyn.threshold_value)
 
         # too few -> search the whole image once (:850-868)
         def full_image(_):
             full = jnp.asarray([0, 0, camera.width, camera.height], dtype)
-            return find_leds(image, full, params, camera, min_a, None, threshold=dyn.threshold_value), full
+            return detect(image, full, min_a, None, dyn.threshold_value), full
 
         det, roi = jax.lax.cond(
             det.count < config.min_num_leds_detected, full_image, lambda _: (det, roi), None
