@@ -278,9 +278,18 @@ def main(argv=None):
         summary["ate_m"] = absolute_trajectory_error(est, gt_poses, upd_arr)
         summary["orientation_err_deg"] = orientation_error_deg(est, gt_poses, upd_arr)
     elif gt_poses is not None:
+        # gt_poses may be (T, 4, 4) — every target tracks the same object
+        # — or (T, K, 4, 4) with one trajectory per target (the two-UAV
+        # bag analogue, README.md:417-451)
+        gt_k = (
+            (lambda k: gt_poses[:, k]) if gt_poses.ndim == 4 else (lambda k: gt_poses)
+        )
         summary["ate_m_per_target"] = [
-            absolute_trajectory_error(est[:, k], gt_poses, upd_arr[:, k])
+            absolute_trajectory_error(est[:, k], gt_k(k), upd_arr[:, k])
             for k in range(args.num_targets)
+        ]
+        summary["tracked_fraction_per_target"] = [
+            round(float(upd_arr[:, k].mean()), 4) for k in range(args.num_targets)
         ]
 
     if config.use_online_exposure_control:

@@ -260,6 +260,68 @@ def make_realistic_sequence(
     )
 
 
+def second_markers(dtype=jnp.float32) -> jnp.ndarray:
+    """A second, geometrically DISTINCT 5-LED constellation for the
+    two-UAV experiments (the reference splits one marker YAML across
+    objects via numberOfMarkersUAVk, README.md:417-451).  Scaled and
+    mirrored relative to `demo_markers` so neither constellation's
+    correspondence search can validate on the other's detections."""
+    pts = np.array(
+        [
+            [-0.1330, 0.0574, 0.0294],
+            [0.0882, 0.1218, 0.1036],
+            [0.1148, -0.0714, 0.0490],
+            [-0.0336, -0.1316, 0.1232],
+            [0.0070, 0.0210, -0.0630],
+        ],
+        dtype=np.float32,
+    )
+    return jnp.asarray(np.concatenate([pts, np.ones((5, 1), np.float32)], axis=1), dtype)
+
+
+def make_two_target_sequence(
+    camera: Camera,
+    markers_a: jnp.ndarray,
+    markers_b: jnp.ndarray,
+    num_frames: int = 60,
+    fps: float = 50.0,
+    distance: float = 1.5,
+    separation: float = 0.45,
+    blob_sigma: float = 1.6,
+    seed: int = 0,
+) -> SyntheticSequence:
+    """Two targets with DISTINCT marker sets orbiting side by side in the
+    same frames — the numUAV=2 experiment's footage
+    (pf_mpe/launch README.md:417-451).  Returns poses of shape
+    (T, 2, 4, 4); `markers_h` stacks the two sets (2, M, 4)."""
+    t = np.arange(num_frames) / fps
+    rng = np.random.default_rng(seed)
+    phase_a = rng.uniform(0, 2 * np.pi)
+    phase_b = rng.uniform(0, 2 * np.pi)
+
+    poses = np.zeros((num_frames, 2, 4, 4), np.float32)
+    for i, ti in enumerate(t):
+        pa = _orbit_pose(ti, phase_a, distance, 0.18, 0.8)
+        pb = _orbit_pose(ti, phase_b, distance + 0.15, 0.15, 0.6)
+        pa[0, 3] -= separation / 2
+        pb[0, 3] += separation / 2
+        poses[i, 0] = pa
+        poses[i, 1] = pb
+
+    def render(i):
+        fa = render_frame(camera, jnp.asarray(poses[i, 0]), markers_a, blob_sigma)
+        fb = render_frame(camera, jnp.asarray(poses[i, 1]), markers_b, blob_sigma)
+        return jnp.clip(fa + fb, 0.0, 255.0)
+
+    frames = jnp.stack([render(i) for i in range(num_frames)])
+    return SyntheticSequence(
+        frames=frames,
+        poses=jnp.asarray(poses),
+        times=jnp.asarray(t, jnp.float32),
+        markers_h=jnp.stack([markers_a, markers_b]),
+    )
+
+
 def demo_markers(dtype=jnp.float32) -> jnp.ndarray:
     """A 5-LED non-coplanar cloud in the demo YAML's size class
     (pf_mpe/marker_positions/demo_marker_positions.yaml; first four points

@@ -239,6 +239,8 @@ def _detect_blobs_fused(
     max_area: jnp.ndarray,
     interpret: bool = False,
     threshold: jnp.ndarray | None = None,
+    wh_distortion: jnp.ndarray | None = None,
+    circ_distortion: jnp.ndarray | None = None,
 ):
     """Fully-fused detection: one Pallas pass produces labels + per-root
     component statistics (area, first moments, bbox); only the top-K
@@ -297,13 +299,21 @@ def _detect_blobs_fused(
     ratio = jnp.minimum(bb_w / bb_h, bb_h / bb_w)
     circ_w = jnp.abs(1.0 - area / (math.pi * (bb_w / 2.0) ** 2))
     circ_h = jnp.abs(1.0 - area / (math.pi * (bb_h / 2.0) ** 2))
+    wh_tol = jnp.asarray(
+        params.max_width_height_distortion if wh_distortion is None else wh_distortion,
+        jnp.float32,
+    )
+    circ_tol = jnp.asarray(
+        params.max_circular_distortion if circ_distortion is None else circ_distortion,
+        jnp.float32,
+    )
     valid = (
         (comp_ids > 0)
         & (area >= min_area)
         & (area <= max_area)
-        & (jnp.abs(1.0 - ratio) <= params.max_width_height_distortion)
-        & (circ_w <= params.max_circular_distortion)
-        & (circ_h <= params.max_circular_distortion)
+        & (jnp.abs(1.0 - ratio) <= wh_tol)
+        & (circ_w <= circ_tol)
+        & (circ_h <= circ_tol)
     )
     return _split_and_compact(
         params, comp_ids, cx, cy, area, valid, var_xx, var_yy, var_xy,
@@ -318,6 +328,8 @@ def _detect_blobs(
     min_area: jnp.ndarray,
     max_area: jnp.ndarray,
     threshold: jnp.ndarray | None = None,
+    wh_distortion: jnp.ndarray | None = None,
+    circ_distortion: jnp.ndarray | None = None,
 ):
     """Core blob extraction on one (H, W) float image.
 
@@ -423,13 +435,21 @@ def _detect_blobs(
     ratio = jnp.minimum(bb_w / bb_h, bb_h / bb_w)
     circ_w = jnp.abs(1.0 - area / (math.pi * (bb_w / 2.0) ** 2))
     circ_h = jnp.abs(1.0 - area / (math.pi * (bb_h / 2.0) ** 2))
+    wh_tol = jnp.asarray(
+        params.max_width_height_distortion if wh_distortion is None else wh_distortion,
+        jnp.float32,
+    )
+    circ_tol = jnp.asarray(
+        params.max_circular_distortion if circ_distortion is None else circ_distortion,
+        jnp.float32,
+    )
     valid = (
         (comp_ids > 0)
         & (area >= min_area)
         & (area <= max_area)
-        & (jnp.abs(1.0 - ratio) <= params.max_width_height_distortion)
-        & (circ_w <= params.max_circular_distortion)
-        & (circ_h <= params.max_circular_distortion)
+        & (jnp.abs(1.0 - ratio) <= wh_tol)
+        & (circ_w <= circ_tol)
+        & (circ_h <= circ_tol)
     )
 
     # Compact valid detections to the front, ordered by image scan position
@@ -448,6 +468,8 @@ def find_leds(
     min_area: jnp.ndarray | None = None,
     max_area: jnp.ndarray | None = None,
     threshold: jnp.ndarray | None = None,
+    wh_distortion: jnp.ndarray | None = None,
+    circ_distortion: jnp.ndarray | None = None,
 ) -> Detections:
     """Detect LED blobs in a frame.
 
@@ -460,6 +482,10 @@ def find_leds(
     threshold : optional *traced* override of the binarisation threshold
             (the reference's live-tunable threshold_value, cfg:12) —
             retuning it costs no recompile.
+    wh_distortion/circ_distortion : optional *traced* overrides of the
+            two shape-distortion ratios (cfg:16-17) — like the blob-area
+            bounds, these are plain compare operands, so live retuning
+            costs no recompile either.
 
     When `params.roi_crop` is set and the ROI fits, the whole pipeline
     runs on a fixed-size crop around the ROI centre (~7x less pixel work
@@ -499,21 +525,27 @@ def find_leds(
                 and jax.default_backend() != "cpu"
             ):
                 xy_d, mask, area = _detect_blobs_fused(
-                    img_c, roi_local, params, min_area, max_area, threshold=threshold
+                    img_c, roi_local, params, min_area, max_area, threshold=threshold,
+                    wh_distortion=wh_distortion, circ_distortion=circ_distortion,
                 )
             else:
                 xy_d, mask, area = _detect_blobs(
-                    img_c, roi_local, params, min_area, max_area, threshold=threshold
+                    img_c, roi_local, params, min_area, max_area, threshold=threshold,
+                    wh_distortion=wh_distortion, circ_distortion=circ_distortion,
                 )
             return xy_d + offset[None, :], mask, area
 
         def full(_):
-            return _detect_blobs(img, roi, params, min_area, max_area, threshold=threshold)
+            return _detect_blobs(
+                img, roi, params, min_area, max_area, threshold=threshold,
+                wh_distortion=wh_distortion, circ_distortion=circ_distortion,
+            )
 
         xy_d, mask, area_s = jax.lax.cond(fits, cropped, full, None)
     else:
         xy_d, mask, area_s = _detect_blobs(
-            img, roi, params, min_area, max_area, threshold=threshold
+            img, roi, params, min_area, max_area, threshold=threshold,
+            wh_distortion=wh_distortion, circ_distortion=circ_distortion,
         )
 
     xy_u = undistort_pixels(camera, xy_d)

@@ -65,16 +65,20 @@ _ROT_CAM = np.asarray(
 )
 
 
-def _adaptive_blob_areas(config: TrackerConfig, pred_dist: jnp.ndarray):
-    """Distance-adaptive blob-area bounds (pose_estimator.cpp:435-439)."""
+def _adaptive_blob_areas(config: TrackerConfig, dyn, pred_dist: jnp.ndarray):
+    """Distance-adaptive blob-area bounds (pose_estimator.cpp:435-439).
+    The base bounds are the traced dynamic tier (cfg:14-15 are
+    live-tunable in the reference); the schedule constants stay static."""
     slope = config.blob_area_distance_slope
+    base_min = dyn.min_blob_area
+    base_max = dyn.max_blob_area
     min_a = jnp.maximum(
         config.abs_min_blob_area,
-        jnp.minimum(config.min_blob_area, config.min_blob_area - slope * (pred_dist - 1.0)),
+        jnp.minimum(base_min, base_min - slope * (pred_dist - 1.0)),
     )
     max_a = jnp.maximum(
         config.abs_max_blob_area,
-        jnp.minimum(config.max_blob_area, config.max_blob_area - slope * (pred_dist - 1.0)),
+        jnp.minimum(base_max, base_max - slope * (pred_dist - 1.0)),
     )
     return min_a, max_a
 
@@ -409,7 +413,11 @@ def tracker_step(
     )[: markers_h.shape[0]]
 
     def _detect_raw(image_, roi_, min_a_, max_a_, thr_):
-        return find_leds(image_, roi_, params, camera, min_a_, max_a_, threshold=thr_)
+        return find_leds(
+            image_, roi_, params, camera, min_a_, max_a_, threshold=thr_,
+            wh_distortion=dyn.max_width_height_distortion,
+            circ_distortion=dyn.max_circular_distortion,
+        )
 
     # every detection pass goes through this hook so the sharded step can
     # run the Pallas detect front-end under manual sharding
@@ -428,7 +436,7 @@ def tracker_step(
         det = detect(image, roi, None, None, dyn.threshold_value)
         # second pass with PF-adaptive areas if too few (:154-159)
         pred_dist = jnp.linalg.norm(state.current_pose[:3, 3])
-        min_a, max_a = _adaptive_blob_areas(config, pred_dist)
+        min_a, max_a = _adaptive_blob_areas(config, dyn, pred_dist)
 
         def second_pass(_):
             return detect(image, roi, min_a, max_a, dyn.threshold_value)
@@ -574,7 +582,7 @@ def tracker_step(
         roi = grow_roi(roi, dist_val, dist_val, camera)
 
         pred_dist = jnp.linalg.norm(predicted[:3, 3])
-        min_a, max_a = _adaptive_blob_areas(config, pred_dist)
+        min_a, max_a = _adaptive_blob_areas(config, dyn, pred_dist)
         det = detect(image, roi, min_a, max_a, dyn.threshold_value)
 
         # not enough LEDs -> grow ROI and retry once (:452-463)
@@ -950,7 +958,7 @@ def tracker_step(
         state = state._replace(key=key)
 
         pred_dist = jnp.linalg.norm(state.predicted_pose[:3, 3])
-        min_a, _ = _adaptive_blob_areas(config, pred_dist)
+        min_a, _ = _adaptive_blob_areas(config, dyn, pred_dist)
 
         # predictWithROI (:2037-2054): const-velocity prediction when the
         # track is mature, otherwise reuse the current pose.

@@ -11,7 +11,7 @@ value is a zero-cost host->device transfer, exactly like a
 dynamic_reconfigure push.
 
 Parameters that shape the program itself (particle count, capacities,
-blur sigma — it sets the static tap count — blob-area *defaults*)
+blur sigma — it sets the static tap count — capacity-like blob params)
 stay static in TrackerConfig, as they do in the reference's
 launch-file tier; the detection threshold rides through the kernels'
 SMEM scalar block, so it is traced too.
@@ -58,6 +58,14 @@ class DynamicParams(NamedTuple):
     # detection binarisation threshold (cfg:12) — traced into the
     # detection kernels via their SMEM scalar block
     threshold_value: jnp.ndarray
+    # detection blob-area bounds + the two shape-distortion ratios
+    # (cfg:13-17, minus gaussian_sigma which legitimately stays static —
+    # it sets the blur kernel's tap count): all four are plain compare
+    # operands in the filter stage, so they retune with no recompile
+    min_blob_area: jnp.ndarray
+    max_blob_area: jnp.ndarray
+    max_width_height_distortion: jnp.ndarray
+    max_circular_distortion: jnp.ndarray
 
     @classmethod
     def from_config(cls, config: "TrackerConfig") -> "DynamicParams":
@@ -84,4 +92,8 @@ class DynamicParams(NamedTuple):
             init_pair_distance_gate=f(config.init_pair_distance_gate),
             init_cluster_radius=f(config.init_cluster_radius),
             threshold_value=f(config.threshold_value),
+            min_blob_area=f(config.min_blob_area),
+            max_blob_area=f(config.max_blob_area),
+            max_width_height_distortion=f(config.max_width_height_distortion),
+            max_circular_distortion=f(config.max_circular_distortion),
         )
