@@ -17,7 +17,7 @@ seq = make_orbit_sequence(camera, markers, num_frames=40, fps=50.0)
 base = TrackerConfig(min_blob_area=8.0, pf_max_retries=8)
 
 out = {}
-for tau in (0.0, 0.25):
+for tau in (0.15,):
     cfg2 = dataclasses.replace(base, n_particles=50_000, number_of_occlusions=1,
                                number_of_false_detections=2, resample_min_ess=tau)
     runs = [acc.run_single(camera, markers, cfg2, seq, seed=s) for s in range(5)]
@@ -31,4 +31,4 @@ for tau in (0.0, 0.25):
     r = acc.run_single(camera, markers, cfg0, seq)
     out[f"clean10k_tau{tau}"] = {"tracked": r["tracked_fraction"], "ate_mm": r["ate_mm"], "ori": r["orientation_err_deg"]}
     print(tau, out[f"clean10k_tau{tau}"], flush=True)
-json.dump(out, open("/root/repo/benchmarks/_ess_acc.json", "w"), indent=1)
+json.dump(out, open("/root/repo/benchmarks/_ess_acc_015.json", "w"), indent=1)

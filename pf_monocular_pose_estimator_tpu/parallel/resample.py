@@ -119,21 +119,40 @@ def _ring_deltas(reach: int, p: int):
     return deltas
 
 
-def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
-    """shard_map body: w (S,), bank16 (16, S) are this shard's blocks."""
+def _resample_shard(
+    key, w, bank16, n: int, reach: int, chunk: int, axis: str,
+    window: int | None = None,
+):
+    """shard_map body: w (S,), bank16 (16, S) are this shard's blocks.
+
+    window: reach-1 boundary-window payload (columns).  When set (and
+    reach == 1, P >= 2), the ring ships only each block's first
+    `window` columns forward-reaching draws can land in and its last
+    `window` columns backward-reaching draws can land in — 26W+1 floats
+    per shard instead of 13S — because a neighbour's draws only reach
+    into a block as far as the per-shard weight imbalance pushes the
+    CDF (a few % of S in any healthy tracking state).  Draws whose
+    ancestor falls outside the received window are clamped to the
+    most-copied local particle and counted in `clipped`, exactly like
+    reach overflow.  The assignment is bit-identical to the full-block
+    scheme whenever clipped == 0."""
     p = jax.lax.axis_size(axis)
     s = w.shape[0]
     idx = jax.lax.axis_index(axis)
     dtype = w.dtype
     s_chunks = s // chunk
     n_chunks = n // chunk
+    use_window = window is not None and reach == 1 and p >= 2
+    if use_window:
+        window = min(int(window), s - 1)
 
-    # -- 1. width-independent chunked CDF (normalised)
-    local_sum = jnp.sum(w)
-    total0 = jax.lax.psum(local_sum, axis)
-    # degenerate total -> uniform weights, as stratified_resample_soa
-    w = jnp.where(total0 > 0, w, jnp.ones_like(w))
-
+    # -- 1. width-independent chunked CDF (normalised).  The chunk-sum
+    # all_gather is the ONLY collective here: the global total is its
+    # last prefix entry (no separate psum — one less DCN round trip per
+    # frame), and the degenerate-total fallback switches to the CLOSED
+    # FORM of the uniform CDF, which is bit-identical to running the
+    # chunked summation over all-ones weights ((j+1) is exact in f32
+    # under the fixed tree, and the final /n is the same op).
     within = _hillis_steele(w.reshape(s_chunks, chunk))  # (s_chunks, chunk)
     chunk_sums = within[:, -1]  # (s_chunks,) fixed-tree f32
     all_chunk_sums = jax.lax.all_gather(chunk_sums, axis).reshape(n_chunks)
@@ -143,11 +162,22 @@ def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
     prefix_excl = jnp.concatenate([jnp.zeros((1,), dtype), prefix_incl[:-1]])
     my_chunk_off = jax.lax.dynamic_slice(prefix_excl, (idx * s_chunks,), (s_chunks,))
     cdf = (my_chunk_off[:, None] + within).reshape(s)  # global CDF values
-    cdf_n = cdf / total  # normalised (<= 1.0; fl division is monotone)
+    ok_total = total > 0
+    nf = jnp.asarray(n, dtype)
+    g = idx * s + jnp.arange(s)
+    cdf_n = jnp.where(
+        ok_total,
+        cdf / jnp.where(ok_total, total, 1.0),  # fl division is monotone
+        (g + 1).astype(dtype) / nf,  # uniform-weights closed form
+    )
     # shard span boundaries in the same normalised domain (bound[k] =
     # start of shard k; the last CDF entry of shard k-1 equals bound[k]
     # bit-for-bit by construction)
-    bounds_n = prefix_excl[:: s_chunks] / total  # (P,) starts
+    bounds_n = jnp.where(
+        ok_total,
+        prefix_excl[:: s_chunks] / jnp.where(ok_total, total, 1.0),
+        (jnp.arange(p) * s).astype(dtype) / nf,
+    )
     # NOTE: prefix_excl has n_chunks entries; shard k starts at chunk
     # k*s_chunks.  bounds_n[k] = normalised mass below shard k.
 
@@ -157,46 +187,64 @@ def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
     counts = jnp.diff(cum_counts, prepend=start_s[None]).astype(jnp.int32)
 
     # -- 3. my output window's draws (global grid, recomputed locally)
-    g = idx * s + jnp.arange(s)
-    nf = jnp.asarray(n, dtype)
     u = (g.astype(dtype) + _uniform_at(key, g, n)) / nf  # (S,) non-decreasing
 
-    # -- 4. ring exchange: 12 varying bank rows + CDF block per neighbour
-    deltas = _ring_deltas(reach, p)
-    nsrc = len(deltas)
+    # -- 4. ring exchange: 12 varying bank rows + CDF per neighbour —
+    # either full blocks (any reach) or reach-1 boundary windows
     top12_local = bank16[:12]
-    blocks_bank, blocks_cdf, srcs = [], [], []
-    for delta in deltas:
-        if delta == 0:
-            nb_bank, nb_cdf = top12_local, cdf_n
-        else:
-            perm = [(i, (i + delta) % p) for i in range(p)]
-            nb_bank = jax.lax.ppermute(top12_local, axis, perm)
-            nb_cdf = jax.lax.ppermute(cdf_n, axis, perm)
-        blocks_bank.append(nb_bank)
-        blocks_cdf.append(nb_cdf)
-        srcs.append((idx - delta) % p)
+    if use_window:
+        wlen = window
+        # head window (first W columns) travels BACKWARD so the
+        # receiver holds its FORWARD (idx+1) neighbour's head; tail
+        # window travels forward.  The tail CDF carries W+1 entries
+        # (one pre-window sentinel) so "ancestor before the window" is
+        # detectable exactly.  Ring wrap edges are semantically dead:
+        # shard 0 has no u < 0 and shard P-1 no u >= 1, so the mod-P
+        # permutes never deliver a reachable draw across the seam.
+        perm_bwd = [(i, (i - 1) % p) for i in range(p)]
+        perm_fwd = [(i, (i + 1) % p) for i in range(p)]
+        head_cdf = jax.lax.ppermute(cdf_n[:wlen], axis, perm_bwd)
+        head_bank = jax.lax.ppermute(top12_local[:, :wlen], axis, perm_bwd)
+        tail_cdf = jax.lax.ppermute(cdf_n[s - wlen - 1 :], axis, perm_fwd)
+        tail_bank = jax.lax.ppermute(
+            top12_local[:, s - wlen :], axis, perm_fwd
+        )
+        blocks_bank = [top12_local, head_bank, tail_bank]
+        blocks_cdf = [cdf_n, head_cdf, tail_cdf]
+        nsrc = 3  # merge codes: 1=own, 2=fwd head, 3=bwd tail
+        srcs = None
+    else:
+        deltas = _ring_deltas(reach, p)
+        nsrc = len(deltas)
+        blocks_bank, blocks_cdf, srcs = [], [], []
+        for delta in deltas:
+            if delta == 0:
+                nb_bank, nb_cdf = top12_local, cdf_n
+            else:
+                perm = [(i, (i + delta) % p) for i in range(p)]
+                nb_bank = jax.lax.ppermute(top12_local, axis, perm)
+                nb_cdf = jax.lax.ppermute(cdf_n, axis, perm)
+            blocks_bank.append(nb_bank)
+            blocks_cdf.append(nb_cdf)
+            srcs.append((idx - delta) % p)
 
     # -- 5. per-block ancestor counts via the two-sort merge (no
     # searchsorted: its sort method scatters, and TPU scatter serialises)
-    vals = jnp.concatenate([u] + blocks_cdf)  # ((nsrc+1)*S,)
+    lens = [b.shape[0] for b in blocks_cdf]
+    vals = jnp.concatenate([u] + blocks_cdf)
     bits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.uint32)
-    total_len = (nsrc + 1) * s
+    total_len = s + sum(lens)
+    code = jnp.concatenate(
+        [jnp.zeros((s,), jnp.uint32)]
+        + [jnp.full((lens[i],), i + 1, jnp.uint32) for i in range(nsrc)]
+    )
     if nsrc <= 3:
         # single-operand first sort: 2-bit code rides in the key (query
         # code 0 sorts before bit-equal entries -> strict '<' counting)
-        code = jnp.concatenate(
-            [jnp.zeros((s,), jnp.uint32)]
-            + [jnp.full((s,), i + 1, jnp.uint32) for i in range(nsrc)]
-        )
         key1 = (bits << jnp.uint32(2)) | code
         (skey,) = jax.lax.sort((key1,), num_keys=1, is_stable=False)
         scode = skey & jnp.uint32(3)
     else:
-        code = jnp.concatenate(
-            [jnp.zeros((s,), jnp.uint32)]
-            + [jnp.full((s,), i + 1, jnp.uint32) for i in range(nsrc)]
-        )
         key1 = (bits << jnp.uint32(1)) | (code > 0).astype(jnp.uint32)
         _, scode = jax.lax.sort((key1, code), num_keys=1, is_stable=False)
     block_counts = [
@@ -219,21 +267,42 @@ def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
     src_u = jnp.sum(
         (u[None, :] > bounds_n[1:, None]).astype(jnp.int32), axis=0
     )  # (S,) in [0, P)
-    slot_u = jnp.zeros((s,), jnp.int32)
-    found = jnp.zeros((s,), bool)
-    j_local = jnp.zeros((s,), jnp.int32)
-    for i in range(nsrc):
-        hit = src_u == srcs[i]
-        slot_u = jnp.where(hit, i, slot_u)
-        j_local = jnp.where(hit, a_blocks[i], j_local)
-        found = found | hit
-    # ulp seams at chunk boundaries can push the count to S; clamp to
-    # the last particle of the block (a one-ulp misattribution, same as
-    # the round-3 scheme's in-block clip)
-    j_local = jnp.clip(j_local, 0, s - 1)
+    if use_window:
+        # direction by u against the shard's own mass span start;
+        # validity by (a) immediate-neighbour src and (b) the window
+        # count actually locating an ancestor inside the window
+        own_start = jnp.take(bounds_n, idx)
+        a_own, a_head, a_tail = a_blocks
+        own_hit = src_u == idx
+        fwd_hit = (
+            ~own_hit & (u >= own_start) & (src_u == (idx + 1) % p)
+            & (a_head < wlen)
+        )
+        back_hit = (
+            ~own_hit & (u < own_start) & (src_u == (idx - 1) % p)
+            & (a_tail >= 1)
+        )
+        found = own_hit | fwd_hit | back_hit
+        # positions in cat12 = [own (12,S) | head (12,W) | tail (12,W)]
+        take_pos = jnp.clip(a_own, 0, s - 1)  # ulp-seam clamp, as below
+        take_pos = jnp.where(fwd_hit, s + a_head, take_pos)
+        take_pos = jnp.where(back_hit, s + wlen + (a_tail - 1), take_pos)
+    else:
+        slot_u = jnp.zeros((s,), jnp.int32)
+        found = jnp.zeros((s,), bool)
+        j_local = jnp.zeros((s,), jnp.int32)
+        for i in range(nsrc):
+            hit = src_u == srcs[i]
+            slot_u = jnp.where(hit, i, slot_u)
+            j_local = jnp.where(hit, a_blocks[i], j_local)
+            found = found | hit
+        # ulp seams at chunk boundaries can push the count to S; clamp to
+        # the last particle of the block (a one-ulp misattribution, same
+        # as the round-3 scheme's in-block clip)
+        j_local = jnp.clip(j_local, 0, s - 1)
+        take_pos = slot_u * s + j_local
 
     n_clipped = jnp.sum((~found).astype(jnp.int32))
-    clipped_total = jax.lax.psum(n_clipped, axis)
     fallback = jnp.argmax(counts)
 
     # -- 7. ONE gather from the concatenated neighbour blocks.  On TPU
@@ -243,8 +312,8 @@ def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
     # body into every carry the bank crosses (measured ~160 us per
     # 8x-inflated bank copy at N=100k — same leak the unsharded path
     # pins in tracker/step.py's do_resample).
-    cat12 = jnp.concatenate(blocks_bank, axis=1)  # (12, nsrc*S)
-    take_pos = jnp.where(found, slot_u * s + j_local, fallback)
+    cat12 = jnp.concatenate(blocks_bank, axis=1)
+    take_pos = jnp.where(found, take_pos, fallback)
     if jax.default_backend() != "cpu":
         from ..pf.pallas_step import bank_layout_pin, bank_restore_pin
 
@@ -260,13 +329,18 @@ def _resample_shard(key, w, bank16, n: int, reach: int, chunk: int, axis: str):
             ]
         )
 
-    # -- most-copied particle, globally (for the GN refinement pick)
+    # -- most-copied particle + clip diagnostics, globally: ONE packed
+    # all_gather of (max count, argmax, local clip count) replaces two
+    # scalar all_gathers and a psum — three fewer DCN round trips
     local_best = jnp.argmax(counts)
     local_max = counts[local_best]
-    all_max = jax.lax.all_gather(local_max, axis)  # (P,)
-    all_best = jax.lax.all_gather(local_best, axis)
-    winner = jnp.argmax(all_max)
-    most = (winner * s + all_best[winner]).astype(jnp.int32)
+    packed = jnp.stack(
+        [local_max, local_best.astype(jnp.int32), n_clipped]
+    )  # (3,) i32
+    all_packed = jax.lax.all_gather(packed, axis)  # (P, 3) replicated
+    winner = jnp.argmax(all_packed[:, 0])
+    most = (winner * s + all_packed[winner, 1]).astype(jnp.int32)
+    clipped_total = jnp.sum(all_packed[:, 2])
 
     return out, counts, most, clipped_total
 
@@ -290,6 +364,7 @@ def make_distributed_resampler(
     reach: int = 1,
     axis: str = "particles",
     cdf_chunk: int | None = None,
+    payload_window: int | str | None = "auto",
 ):
     """Build `resample(key, weights, bank16) -> DistResampleOut` running
     the explicit scheme over `mesh`'s `axis`.  Call it inside or outside
@@ -297,7 +372,14 @@ def make_distributed_resampler(
 
     cdf_chunk: the fixed CDF summation chunk (must divide the shard
     size).  Two resamplers agree bit-for-bit across mesh widths iff
-    they use the same chunk (and no draw exceeds the reach)."""
+    they use the same chunk (and no draw exceeds the reach).
+
+    payload_window: reach-1 ring payload in columns — "auto" = S // 4
+    (covers up to 25% per-shard weight imbalance, the dominant DCN
+    saver: 26W+1 floats per shard instead of 13S), an int for explicit
+    control, None for full blocks (exact under any skew the reach
+    covers).  Ignored unless reach == 1 and P >= 2.  Window overflow is
+    clamped + counted in `clipped`, identically to reach overflow."""
     p = mesh.shape[axis]
     if cdf_chunk is None:
         cdf_chunk = _auto_chunk(n_particles, p)
@@ -308,8 +390,11 @@ def make_distributed_resampler(
     assert 8 <= n_particles <= (1 << 22), (
         "closed-form grid inversion is exact only for 8 <= N <= 2^22"
     )
+    if payload_window == "auto":
+        payload_window = max(s // 4, 1)
     body = partial(
-        _resample_shard, n=n_particles, reach=reach, chunk=cdf_chunk, axis=axis
+        _resample_shard, n=n_particles, reach=reach, chunk=cdf_chunk,
+        axis=axis, window=payload_window,
     )
     spec_w = P(axis)
     spec_b = P(None, axis)

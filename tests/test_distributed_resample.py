@@ -245,3 +245,59 @@ def test_cross_width_bit_reproducible():
         np.testing.assert_array_equal(got[0], ref[0], err_msg=f"P={width}")
         np.testing.assert_array_equal(got[1], ref[1], err_msg=f"P={width}")
         assert got[2] == ref[2]
+
+
+def test_payload_window_matches_full_blocks():
+    """The reach-1 boundary-window ring (payload_window) must reproduce
+    the full-block scheme slot-for-slot whenever nothing clips, at both
+    P=8 and P=2 (the wrap-dedup width)."""
+    n = 2048
+    key = jax.random.PRNGKey(21)
+    rng = np.random.default_rng(5)
+    bank = _random_bank(rng, n)
+    # moderate imbalance: +-30% weight ripple, short wavelength so the
+    # cumulative mass deviation (what the ring reach actually sees,
+    # ~0.3*n/50 ~ 12 columns) stays inside the auto window (S/4 = 64)
+    w = (1.0 + 0.3 * np.sin(np.linspace(0, 50.0, n))).astype(np.float32)
+    weights = jnp.asarray(w)
+
+    for p in (8, 2):
+        mesh = make_mesh(particle_devices=p, devices=jax.devices()[:p])
+        full = jax.jit(
+            make_distributed_resampler(mesh, n, reach=1, payload_window=None)
+        )(key, weights, bank)
+        win = jax.jit(
+            make_distributed_resampler(mesh, n, reach=1, payload_window="auto")
+        )(key, weights, bank)
+        assert int(full.clipped) == 0
+        assert int(win.clipped) == 0, f"P={p}: window clipped"
+        np.testing.assert_array_equal(
+            np.asarray(win.resampled), np.asarray(full.resampled)
+        )
+        assert int(win.most) == int(full.most)
+
+
+def test_payload_window_overflow_is_diagnosed():
+    """Imbalance beyond the window (one shard ~empty, so its output
+    draws reach deep into a neighbour) must clip-and-count, not
+    silently misassign."""
+    n = 1024
+    s = n // 8
+    mesh = _mesh8()
+    rng = np.random.default_rng(6)
+    bank = _random_bank(rng, n)
+    key = jax.random.PRNGKey(23)
+    # shard 2 nearly weightless: its output window's draws consume deep
+    # interior columns of shard 1/3 — far beyond a 25% boundary window
+    w = np.ones(n, np.float32)
+    w[2 * s : 3 * s] = 1e-7
+    weights = jnp.asarray(w)
+
+    win = jax.jit(
+        make_distributed_resampler(mesh, n, reach=1, payload_window=s // 8)
+    )(key, weights, bank)
+    full = jax.jit(
+        make_distributed_resampler(mesh, n, reach=1, payload_window=None)
+    )(key, weights, bank)
+    assert int(full.clipped) == 0
+    assert int(win.clipped) > 0
