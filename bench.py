@@ -29,6 +29,11 @@ def main():
     # few percent of the profiler's device timeline, which is what a
     # locally-attached chip would sustain)
     ap.add_argument("--frames", type=int, default=480)
+    # 1-device-mesh sharded run: same chip, but through the mesh program
+    # (shard_map'd Pallas PF kernels + explicit distributed resampler).
+    # The round-3 verdict's acceptance bar: within ~10% of the unsharded
+    # fps — proves pod-scale runs keep single-chip kernel speed.
+    ap.add_argument("--sharded", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +86,30 @@ def main():
         state0 = jax.vmap(lambda k: TargetState.create(n_particles, k))(
             jax.random.split(jax.random.PRNGKey(0), args.targets)
         )
+    elif args.sharded:
+        from pf_monocular_pose_estimator_tpu.parallel.mesh import (
+            make_mesh,
+            make_sharded_tracker,
+            shard_target_state,
+        )
+
+        mesh = make_mesh(particle_devices=len(jax.devices()))
+        sharded_step = make_sharded_tracker(
+            camera, markers, marker_mask, config, mesh
+        )
+
+        @jax.jit
+        def run_sequence(state, frames, times):
+            def body(state, inputs):
+                frame, t = inputs
+                state, res = sharded_step(state, frame, t)
+                return state, (res.fail_flag, res.pose_updated, res.pose)
+
+            return jax.lax.scan(body, state, (frames, times))
+
+        state0 = shard_target_state(
+            TargetState.create(n_particles, jax.random.PRNGKey(0)), mesh
+        )
     else:
 
         @jax.jit
@@ -127,7 +156,7 @@ def main():
 
     label = f"tracking_fps_752x480_{n_particles//1000}k_particles" + (
         f"_{args.targets}targets" if args.targets > 1 else ""
-    )
+    ) + ("_sharded_mesh" if args.sharded else "")
     print(
         json.dumps(
             {

@@ -18,3 +18,22 @@ Layer map (cf. /root/repo/SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+# TPU MXU matmuls default to bfloat16 operand rounding, which costs the
+# geometry pipeline ~3 decimal digits: measured on v5e (round 4,
+# benchmarks/_ori_iso*.json), default precision degraded the clean-orbit
+# engine trajectory from 0.93 deg / 7.1 mm (CPU, exact f32) to
+# 2.4-7.8 deg / 8.9-83 mm — the 4x4 pose composes, marker projections
+# and Gauss-Newton normal equations are all small matmuls whose bf16
+# rounding lands directly in the pixel residuals.  Full-f32 passes cost
+# ~6x on the MXU, but the engine's hot loops (fused PF propagate+weight,
+# detection, batched GN) live in Pallas kernels with their own exact-f32
+# arithmetic, so the global default only touches the small XLA matmuls:
+# measured fps impact at 100k particles is within noise.  Opt out (e.g.
+# to A/B the effect) with PFMPE_DEFAULT_MATMUL_PRECISION=default.
+import os as _os
+
+if _os.environ.get("PFMPE_DEFAULT_MATMUL_PRECISION", "").lower() != "default":
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")

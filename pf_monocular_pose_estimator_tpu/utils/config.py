@@ -108,7 +108,14 @@ class TrackerConfig:
     # self-regulating here because skipped resampling lets the cloud
     # diffuse, which drives ESS down until a resample fires.  Weights
     # are per-frame scores (as in the reference), not accumulated.
-    resample_min_ess: float = 0.0
+    # Default 0.15, tuned round 4 (benchmarks/_ess_acc*.json, 5 seeds on
+    # the outlier config + 3 clean seeds): fires on ~11-12% of frames
+    # (steady-state ESS ~0.3-0.85), outlier tracked fraction 0.955 vs
+    # 0.960 at parity resampling, clean ATE within seed noise
+    # (8.9-13.1 mm vs 8.2-9.2 mm), and removes ~88% of the ~0.45 ms
+    # resample cost.  tau=0.25 measured 0.94 tracked with one 84 mm ATE
+    # seed — too aggressive.  reference_parity() keeps 0.0.
+    resample_min_ess: float = 0.15
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
     expose_time_base: float = 2000.0
