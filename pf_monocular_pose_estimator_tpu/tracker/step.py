@@ -169,12 +169,16 @@ def _resample_and_refine(
     if "resample" in config.debug_skip:
         most = jnp.argmax(weights_norm)
         resampled16 = bank16
-    elif resample_fn is not None:
-        out = resample_fn(key, weights_norm, bank16)
-        resampled16, most = out.resampled, out.most
     else:
 
         def do_resample(_):
+            if resample_fn is not None:
+                # mesh-sharded step: the explicit distributed scheme
+                # (collectives inside this cond are safe — the ESS
+                # predicate below is replicated, so every device takes
+                # the same branch)
+                out = resample_fn(key, weights_norm, bank16)
+                return out.resampled, out.most
             if config.use_closed_form_resample:
                 anc, counts, most = stratified_resample_closed(key, weights_norm)
             else:
@@ -196,9 +200,11 @@ def _resample_and_refine(
 
         if config.resample_min_ess > 0.0:
             # ESS-gated resampling (see TrackerConfig.resample_min_ess):
-            # skip the sorts + bank gather while the weight spread is
-            # healthy; the refine seed is then the argmax-weight lane
-            # (identical to the most-resampled lane in expectation).
+            # skip the sorts + bank gather (or the distributed ring)
+            # while the weight spread is healthy; the refine seed is
+            # then the argmax-weight lane (identical to the
+            # most-resampled lane in expectation).  Under GSPMD the sum
+            # lowers to a psum and the predicate is replicated.
             ess_frac = 1.0 / (
                 jnp.sum(weights_norm * weights_norm)
                 * jnp.asarray(weights_norm.shape[0], weights_norm.dtype)
