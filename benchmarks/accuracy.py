@@ -98,20 +98,44 @@ def main():
         camera, markers, dataclasses.replace(base, n_particles=10_000), seq
     )
     # fault patterns are PRNG-seeded, so a single seed's tracked
-    # fraction is high-variance; average three seeds
+    # fraction is high-variance; average five seeds (round-4 bump from
+    # 3 — the round-3 parity margin sat exactly on the 0.9 bar)
+    n_seeds = 5
     cfg2 = dataclasses.replace(
         base, n_particles=50_000, number_of_occlusions=1, number_of_false_detections=2
     )
-    runs2 = [run_single(camera, markers, cfg2, seq, seed=s) for s in range(3)]
+    runs2 = [run_single(camera, markers, cfg2, seq, seed=s) for s in range(n_seeds)]
     report["config2_50k_outliers"] = {
-        "seeds": 3,
+        "seeds": n_seeds,
         "tracked_fraction_mean": round(
-            sum(r["tracked_fraction"] for r in runs2) / 3, 3
+            sum(r["tracked_fraction"] for r in runs2) / n_seeds, 3
         ),
         "median_err_mm_mean": round(
-            sum(r["median_err_mm"] for r in runs2) / 3, 3
+            sum(r["median_err_mm"] for r in runs2) / n_seeds, 3
         ),
         "per_seed": runs2,
+    }
+
+    # config2 at strict reference parity (every engine extension off):
+    # the honest margin of the reference behaviour itself under the
+    # same fault injection — the headline row above rides the engine's
+    # default extensions (coasting, partial-constellation init, ...)
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig as _TC
+
+    cfg2p = _TC.reference_parity(
+        n_particles=50_000,
+        min_blob_area=base.min_blob_area,
+        pf_max_retries=base.pf_max_retries,
+        number_of_occlusions=1,
+        number_of_false_detections=2,
+    )
+    runs2p = [run_single(camera, markers, cfg2p, seq, seed=s) for s in range(n_seeds)]
+    report["config2_50k_outliers_reference_parity"] = {
+        "seeds": n_seeds,
+        "tracked_fraction_mean": round(
+            sum(r["tracked_fraction"] for r in runs2p) / n_seeds, 3
+        ),
+        "per_seed": runs2p,
     }
 
     # config3: 4 targets, 25k particles each

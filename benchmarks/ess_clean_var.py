@@ -1,3 +1,6 @@
+"""Clean-config seed variance for the ESS-gate tuning
+(ESS_TUNING_r04.json).
+"""
 import sys, dataclasses, json
 sys.path.insert(0, "/root/repo")
 import importlib.util

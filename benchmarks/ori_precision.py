@@ -1,3 +1,7 @@
+"""Orientation/ATE vs particle count and retries on the 30-frame clean
+orbit — the experiment that exposed the TPU bf16-matmul accuracy bug
+(PRECISION_r04.json).  Run on TPU (default) or CPU (jax_platforms=cpu).
+"""
 import sys, dataclasses, json
 sys.path.insert(0, "/root/repo")
 import numpy as np, jax, jax.numpy as jnp
