@@ -35,6 +35,9 @@ def main():
     # fps — proves pod-scale runs keep single-chip kernel speed.
     ap.add_argument("--sharded", action="store_true")
     args = ap.parse_args()
+    if args.sharded and args.targets > 1:
+        ap.error("--sharded and --targets are mutually exclusive "
+                 "(the multi-target mesh path is benchmarks/sharded_bench.py)")
 
     import jax
     import jax.numpy as jnp

@@ -76,6 +76,15 @@ class BlobParams(NamedTuple):
     split_merged: bool = True
     split_max_factor: float = 2.5
     split_min_elongation: float = 1.5
+    # Bimodality gate on the split (round 5): a component splits only if
+    # the raw-image intensity at its centroid is <= this ratio of the
+    # dimmer child-centroid intensity — a genuinely merged pair has an
+    # intensity SADDLE between two peaks (measured 0.13-0.40 on the
+    # merged-LED scenario) while a motion-blur streak is a monotone
+    # ridge (measured 0.95-1.15 on the realistic golden, where splitting
+    # created phantom detections 3-12 px off the true centroid that
+    # captured greedy PF bindings).  >= 1e6 disables the gate.
+    split_dip_ratio: float = 0.75
 
 
 class Detections(NamedTuple):
@@ -174,11 +183,15 @@ def _split_and_compact(
     var_xy,
     min_area,
     max_area,
+    img=None,
 ):
     """Shared tail of both detection paths: optionally split oversized
     elongated components into two child detections (see BlobParams.
     split_merged), then compact valid detections to the front in
-    component-id (scan) order."""
+    component-id (scan) order.
+
+    img: the raw frame in the SAME pixel coordinates as cx/cy, used for
+    the intensity-dip bimodality gate (see below); None disables it."""
     imax = jnp.iinfo(jnp.int32).max
     if not params.split_merged:
         order_key = jnp.where(valid, comp_ids, imax)
@@ -210,6 +223,35 @@ def _split_and_compact(
     off = jnp.sqrt(jnp.maximum(lam_max - lam_min, 0.0))  # half-separation
     ox = ux / norm * off
     oy = uy / norm * off
+
+    if img is not None and params.split_dip_ratio < 1e6:
+        # Intensity-dip bimodality gate (round 5): second moments alone
+        # cannot distinguish a genuinely MERGED pair of LEDs (bimodal —
+        # an intensity saddle sits between two peaks) from a single
+        # motion-blur STREAK (a monotone ridge with the same covariance
+        # footprint).  On the realistic golden the streaks were being
+        # split into phantom detections 3-12 px from the true centroid,
+        # which captured greedy PF bindings and inflated depth error
+        # ~1.5x (measured: 3.12 mm -> 2.14 mm ATE at 500 particles with
+        # the phantoms removed).  Sample the raw frame at the candidate
+        # centre and at the two child centroids: split only when the
+        # centre is dimmer than split_dip_ratio x the dimmer child
+        # (measured margins: merged pairs 0.13-0.40, streaks 0.95-1.15).
+        # Passive (BINARY_INV) mode inverts the frame first — markers
+        # are dark there, so the saddle is BRIGHTER between dark peaks.
+        h_i, w_i = img.shape
+        sample_img = img if params.active_markers else 255.0 - img
+
+        def _sample(x, y):
+            xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w_i - 1)
+            yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h_i - 1)
+            return sample_img[yi, xi]
+
+        i_c = _sample(cx, cy)
+        i_1 = _sample(cx + ox, cy + oy)
+        i_2 = _sample(cx - ox, cy - oy)
+        dip = i_c <= params.split_dip_ratio * jnp.minimum(i_1, i_2)
+        split_ok = split_ok & dip
 
     p_valid = valid | split_ok
     p_x = jnp.where(split_ok, cx + ox, cx)
@@ -317,7 +359,7 @@ def _detect_blobs_fused(
     )
     return _split_and_compact(
         params, comp_ids, cx, cy, area, valid, var_xx, var_yy, var_xy,
-        min_area, max_area,
+        min_area, max_area, img=img,
     )
 
 
@@ -456,7 +498,7 @@ def _detect_blobs(
     # (approximates the reference's contour ordering); split merged blobs.
     return _split_and_compact(
         params, comp_ids, cx, cy, area, valid, var_xx, var_yy, var_xy,
-        min_area, max_area,
+        min_area, max_area, img=img,
     )
 
 

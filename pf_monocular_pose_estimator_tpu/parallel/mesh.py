@@ -73,6 +73,7 @@ def _state_shardings(mesh: Mesh, batched: bool = False):
         uncertainty=small,
         degraded_frames=small,
         coast_frames=small,
+        resample_clipped=small,
         roi=small,
         time_current=small,
         time_previous=small,
@@ -137,6 +138,8 @@ def make_sharded_tracker(
     mesh: Mesh,
     resample_reach: int = 1,
     pf_pallas: str = "auto",
+    payload_window: int | str | None = "auto",
+    cdf_chunk: int | None = None,
 ):
     """Jitted single-target step with the bank sharded over 'particles'.
 
@@ -152,6 +155,15 @@ def make_sharded_tracker(
     shard_map (`parallel.pf_kernels`) — the sharded program keeps
     single-chip kernel speed instead of falling back to the XLA SoA
     path (see pf_pallas in `_spmd_hooks`).
+
+    payload_window / cdf_chunk pass straight through to
+    `make_distributed_resampler`: the window bounds the ring payload
+    (None = full blocks, exact under any skew the reach covers); when
+    per-shard weight skew exceeds it, the overflow draws are clamped and
+    COUNTED — watch `FrameResult.resample_clipped` (cumulative) to see
+    skew-induced degradation, and widen the window / use None if it
+    fires (round-4 advisor finding: the default window used to be
+    neither tunable nor observable from here).
     """
     from .resample import make_distributed_resampler
 
@@ -162,7 +174,8 @@ def make_sharded_tracker(
     state_shardings = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
     repl = NamedSharding(mesh, P())
     resampler = make_distributed_resampler(
-        mesh, config.n_particles, reach=resample_reach
+        mesh, config.n_particles, reach=resample_reach,
+        payload_window=payload_window, cdf_chunk=cdf_chunk,
     )
 
     def _step(state, image, t):
@@ -186,6 +199,9 @@ def make_sharded_multi_tracker(
     config: TrackerConfig,
     mesh: Mesh,
     pf_pallas: str = "auto",
+    resample_reach: int = 1,
+    payload_window: int | str | None = "auto",
+    cdf_chunk: int | None = None,
 ):
     """Multi-target step: targets vmapped and sharded over 'targets',
     each target's bank sharded over 'particles'.
@@ -193,6 +209,9 @@ def make_sharded_multi_tracker(
     Multi-target parity target: the reference's per-object `_Vec` loop
     (pose_estimator.cpp:89-736, SURVEY.md §2 #20) — here the targets are
     a batch axis over the mesh instead of a serial host loop.
+    resample_reach / payload_window / cdf_chunk: see
+    `make_sharded_tracker` (per-target clip diagnostics surface in
+    FrameResult.resample_clipped).
     """
     markers_h = jnp.asarray(markers_h)
     marker_masks = jnp.asarray(marker_masks, bool)
@@ -206,7 +225,8 @@ def make_sharded_multi_tracker(
     from .resample import make_distributed_resampler
 
     resampler = make_distributed_resampler(
-        mesh, config.n_particles, reach=1
+        mesh, config.n_particles, reach=resample_reach,
+        payload_window=payload_window, cdf_chunk=cdf_chunk,
     )
 
     def _one(state, image, t, markers, mask):

@@ -43,10 +43,12 @@ the `particles` mesh axis:
      configurable, and bit-reproducibility across widths holds exactly
      when `clipped == 0`).
 
-Pinned by tests/test_distributed_resample.py: slot-level agreement with
-the single-device resampler (tolerance: the chunked CDF rounds
-differently from XLA's cumsum), exact cross-width agreement, skew
-diagnostics, and the no-bank-all-gather HLO budget.
+Pinned by tests/test_distributed_resample.py: EXACT slot-for-slot
+agreement with the single-device resampler (since round 5 the sort path
+builds the same chunked fixed-association CDF — pf.soa.chunked_cdf_norm
+— so there is one resampling answer across all paths and widths), exact
+cross-width agreement, skew diagnostics, and the no-bank-all-gather HLO
+budget.
 """
 
 from __future__ import annotations
@@ -58,7 +60,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..pf.soa import _uniform_at
+from ..pf.soa import _uniform_at, default_cdf_chunk, hillis_steele
+
+# the fixed-association cumsum shared with the single-device resamplers
+# (pf.soa) — one association tree, one CDF, every path
+_hillis_steele = hillis_steele
 
 
 class DistResampleOut(NamedTuple):
@@ -71,22 +77,6 @@ class DistResampleOut(NamedTuple):
     counts: jnp.ndarray  # (N,) global copy count per input particle
     most: jnp.ndarray  # replicated int32: global index of most-copied
     clipped: jnp.ndarray  # replicated int32: draws beyond the ring reach
-
-
-def _hillis_steele(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive cumsum along the last axis with a FIXED association
-    tree (x[i] += x[i-k], k doubling): the result depends only on the
-    last-axis length, never on how XLA decomposes a scan — the
-    width-independence anchor of the chunked CDF.  Monotone
-    non-decreasing for non-negative inputs (each step adds monotone
-    non-negative terms)."""
-    c = x.shape[-1]
-    k = 1
-    while k < c:
-        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k, 0)])[..., :c]
-        x = x + shifted
-        k *= 2
-    return x
 
 
 def _count_leq_norm(cdf_n: jnp.ndarray, key, n: int) -> jnp.ndarray:
@@ -346,12 +336,16 @@ def _resample_shard(
 
 
 def _auto_chunk(n: int, p: int) -> int:
-    """Largest divisor of the shard size n/p that is <= 512.  For the
-    production bank sizes this lands on the same value at every width
-    (n=100k -> 500 for P in {1,2,4,8}; power-of-two n with S >= 512 ->
-    512), which is what cross-width bit-reproducibility needs; pass
-    `cdf_chunk` explicitly for exotic (n, P) combinations."""
+    """The canonical width-independent chunk (pf.soa.default_cdf_chunk —
+    a function of N alone, shared with the single-device sort path and
+    the Pallas decode path, so all resamplers build bit-identical CDFs)
+    whenever it divides this mesh's shard size; otherwise the largest
+    divisor of the shard size that is <= 512 (exotic (n, P) combinations
+    — then cross-path agreement needs an explicit `cdf_chunk`)."""
     s = n // p
+    canonical = default_cdf_chunk(n)
+    if s % canonical == 0:
+        return canonical
     for d in range(min(512, s), 0, -1):
         if s % d == 0:
             return d

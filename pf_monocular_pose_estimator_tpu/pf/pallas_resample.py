@@ -1,8 +1,15 @@
 """Sort-free stratified resampling: probe ranks + a Pallas decode kernel.
 
-Replaces the two 2N-element sorts and the serialised XLA bank gather of
-`pf.soa.stratified_resample_soa` + `jnp.take` (together ~520 us/frame at
-N=100k on v5e, ~38% of the tracked frame) with:
+OPT-IN fast path (`TrackerConfig.use_pallas_resample`, default OFF):
+measured ~190 us vs ~520 us for the default sort+gather at N=100k on
+v5e when the decode windows cover the weight profile — but production
+steady-state weights (~40% zero lanes after the tolerance gate)
+concentrate enough that blocks overflow the window and the built-in
+`lax.cond` fallback runs the sort path anyway, so the default stays the
+sort scheme (the honest negative result; commit 19b7089).  When
+enabled, it replaces the two 2N-element sorts and the serialised XLA
+bank gather of `pf.soa.stratified_resample_soa` + `jnp.take` (together
+~520 us/frame at N=100k on v5e, ~38% of the tracked frame) with:
 
   1. **Probe-rank pre-pass (XLA, ~35 us).**  The normalised CDF is built
      with the SAME fixed-association chunked Hillis-Steele summation as

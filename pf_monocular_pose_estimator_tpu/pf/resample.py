@@ -28,11 +28,13 @@ def stratified_resample(key: jax.Array, weights: jnp.ndarray):
       counts          : (N,) int32 times each particle was chosen
       most_resampled  : scalar int32 argmax(counts)
     """
+    from .soa import chunked_cdf_norm, default_cdf_chunk
+
     n = weights.shape[0]
-    total = jnp.sum(weights)
-    safe = jnp.where(total > 0, total, 1.0)
-    w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
-    cdf = jnp.cumsum(w)
+    # fixed-association chunked CDF shared with the SoA, Pallas and
+    # distributed resamplers (pf.soa.chunked_cdf_norm) so every path
+    # computes the same canonical assignment
+    cdf = chunked_cdf_norm(weights, default_cdf_chunk(n))
     u = (jnp.arange(n, dtype=weights.dtype) + jax.random.uniform(key, (n,), weights.dtype)) / n
     # First index with cdf >= u — matches the reference's `>=` break
     # (pose_estimator.cpp:677).

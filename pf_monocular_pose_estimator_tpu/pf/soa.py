@@ -308,6 +308,78 @@ def _uniform_at(key: jax.Array, idx: jnp.ndarray, n: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(fb, jnp.float32) - jnp.float32(1.0)
 
 
+def hillis_steele(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum along the last axis with a FIXED association
+    tree (x[i] += x[i-k], k doubling): the result depends only on the
+    last-axis length, never on how XLA decomposes a scan — the
+    width-independence anchor of the chunked resampling CDF (shared by
+    this module, pf.pallas_resample.probe_rank and
+    parallel.resample._resample_shard).  Monotone non-decreasing for
+    non-negative inputs (each step adds monotone non-negative terms)."""
+    c = x.shape[-1]
+    k = 1
+    while k < c:
+        shifted = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(k, 0)])[..., :c]
+        x = x + shifted
+        k *= 2
+    return x
+
+
+def default_cdf_chunk(n: int) -> int:
+    """Canonical CDF summation chunk — a function of N alone, NEVER of
+    the mesh width, so the single-device sort path, the Pallas decode
+    path and the distributed shard_map path all build bit-identical
+    fixed-association CDFs.  Rule: largest divisor of N//8 (of N itself
+    when 8 does not divide N) that is <= 512 — such a chunk divides the
+    shard size N/P for every power-of-two width P <= 8 (and for
+    power-of-two N, every width up to N/512), which is what cross-width
+    and cross-path bit-reproducibility need.  N=100k -> 500 at every
+    width in {1,2,4,8}; N=2^k (k>=12) -> 512."""
+    base = n // 8 if n % 8 == 0 and n >= 8 else n
+    for d in range(min(512, base), 0, -1):
+        if base % d == 0:
+            return d
+    return 1
+
+
+def chunked_cdf_norm(weights: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Normalised global CDF of `weights` by the fixed-association
+    chunked scheme: Hillis-Steele within fixed-size chunks, a
+    Hillis-Steele prefix over the chunk sums, entries rebuilt as
+    fl(chunk_prefix) + fl(within-chunk prefix), then ONE division by the
+    global total (the last chunk-prefix entry).  Because every FLOP's
+    association is fixed by (n, chunk) alone, the result is
+    bit-identical to parallel.resample._resample_shard step 1 at any
+    mesh width using the same chunk — the anchor that makes
+    single-device and mesh-sharded resampling agree slot-for-slot
+    (tests/test_distributed_resample.py asserts exact equality).
+
+    Degenerate weights (total <= 0) switch to the CLOSED FORM of the
+    uniform CDF (j+1)/n, which is bit-identical to running the chunked
+    summation over all-ones weights ((j+1) is exact in f32 under the
+    fixed tree and the final /n is the same op) — the same fallback the
+    distributed shard body uses.
+
+    Monotone within chunks by construction; only chunk-prefix seams can
+    carry 1-ulp pockets (the sort-based consumers repair them by value
+    ordering, the probe-based ones by a boundary prefix-max)."""
+    n = weights.shape[0]
+    dtype = weights.dtype
+    assert n % chunk == 0, f"chunk={chunk} must divide n={n}"
+    within = hillis_steele(weights.reshape(n // chunk, chunk))
+    chunk_sums = within[:, -1]
+    prefix_incl = hillis_steele(chunk_sums)
+    total = prefix_incl[-1]
+    prefix_excl = jnp.concatenate([jnp.zeros((1,), dtype), prefix_incl[:-1]])
+    cdf = (prefix_excl[:, None] + within).reshape(n)
+    ok = total > 0
+    return jnp.where(
+        ok,
+        cdf / jnp.where(ok, total, 1.0),
+        (jnp.arange(1, n + 1, dtype=dtype)) / jnp.asarray(n, dtype),
+    )
+
+
 def stratified_resample_closed(key: jax.Array, weights: jnp.ndarray):
     """Sort-free stratified resampling: the two 2N-element sorts of
     `stratified_resample_soa` become a cumsum, six elementwise threefry
@@ -355,10 +427,8 @@ def stratified_resample_closed(key: jax.Array, weights: jnp.ndarray):
     n = weights.shape[0]
     if n < 8 or n > (1 << 22):  # window-exactness bound; see docstring
         return stratified_resample_soa(key, weights)
-    total = jnp.sum(weights)
-    safe = jnp.where(total > 0, total, 1.0)
-    w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
-    cdf = jax.lax.cummax(jnp.cumsum(w))  # repair parallel-scan ulp pockets
+    # repair chunk-seam ulp pockets with an explicit cummax (see docstring)
+    cdf = jax.lax.cummax(chunked_cdf_norm(weights, default_cdf_chunk(n)))
 
     nf = jnp.asarray(n, weights.dtype)
     k = jnp.floor(cdf * nf).astype(jnp.int32)
@@ -382,7 +452,10 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     counts — no scatter, no scan-lowered binary search, and no 1-D
     gather (``eps[k]`` in the closed-form counts cost ~0.6 ms at N=100k:
     TPU lane gathers serialise).  Same draw semantics as
-    pf.resample.stratified_resample.
+    pf.resample.stratified_resample.  The CDF is the chunked
+    fixed-association scheme (chunked_cdf_norm) shared with the
+    distributed and Pallas resamplers, so the assignment is identical
+    across all paths (exact, tests/test_distributed_resample.py).
 
     Scheme: merge-sort [u, cdf] ascending with queries (tag 0) before
     equal cdf entries (side='left').  In merged order, the inclusive
@@ -413,10 +486,12 @@ def stratified_resample_soa(key: jax.Array, weights: jnp.ndarray):
     XLA TPU scatter serialises (857 us per N-scatter-max).
     """
     n = weights.shape[0]
-    total = jnp.sum(weights)
-    safe = jnp.where(total > 0, total, 1.0)
-    w = jnp.where(total > 0, weights / safe, jnp.full_like(weights, 1.0 / n))
-    cdf = jnp.cumsum(w)
+    # fixed-association chunked CDF — the SAME values the distributed
+    # resampler (parallel.resample) and the Pallas decode path
+    # (pf.pallas_resample.probe_rank) build, so the resampling
+    # assignment is identical across all three paths and across mesh
+    # widths (exact equality pinned in tests/test_distributed_resample.py)
+    cdf = chunked_cdf_norm(weights, default_cdf_chunk(n))
     eps = jax.random.uniform(key, (n,), weights.dtype)
     u = (jnp.arange(n, dtype=weights.dtype) + eps) / n
 

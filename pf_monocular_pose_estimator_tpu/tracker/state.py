@@ -43,6 +43,15 @@ class TargetState(NamedTuple):
     # consecutive coasted (rejected-but-kept) frames on a mature track
     # (engine extension; see TrackerConfig.pf_coast_frames)
     coast_frames: jnp.ndarray  # int32
+    # cumulative count of resampling draws the distributed resampler
+    # clamped because their ancestor lay beyond the ring reach / payload
+    # window (parallel.resample.DistResampleOut.clipped) — nonzero means
+    # per-shard weight skew exceeded the configured ring payload and the
+    # overflow draws were replaced by the most-copied local particle;
+    # always 0 on the unsharded path.  Surfaced per frame in
+    # FrameResult.resample_clipped so skew-induced degradation is
+    # observable (round-4 advisor finding).
+    resample_clipped: jnp.ndarray  # int32
     roi: jnp.ndarray  # (4,) [x0,y0,w,h]
     time_current: jnp.ndarray  # f32
     time_previous: jnp.ndarray  # f32
@@ -84,6 +93,7 @@ class TargetState(NamedTuple):
             uncertainty=jnp.zeros((), jnp.int32),
             degraded_frames=jnp.zeros((), jnp.int32),
             coast_frames=jnp.zeros((), jnp.int32),
+            resample_clipped=jnp.zeros((), jnp.int32),
             roi=jnp.asarray([0, 0, image_size[0], image_size[1]], dtype),
             time_current=jnp.zeros((), dtype),
             time_previous=jnp.asarray(-1.0, dtype),
@@ -121,3 +131,7 @@ class FrameResult(NamedTuple):
     best_weight: jnp.ndarray  # highest un-normalised particle weight
     blob_area_sum: jnp.ndarray  # total detected blob area (exposure ctrl)
     exposure_us: jnp.ndarray  # current exposure recommendation
+    # cumulative distributed-resampler clip counter (see
+    # TargetState.resample_clipped); 0 unless a mesh-sharded run hit
+    # per-shard weight skew beyond the ring payload
+    resample_clipped: jnp.ndarray  # int32

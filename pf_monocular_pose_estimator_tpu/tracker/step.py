@@ -166,9 +166,11 @@ def _resample_and_refine(
     device under manual sharding (parallel.pf_kernels.replicated) — the
     sharded step routes the replicated-operand GN Pallas kernel through
     it so GSPMD never has to partition the custom call."""
+    zero_clip = jnp.zeros((), jnp.int32)
     if "resample" in config.debug_skip:
         most = jnp.argmax(weights_norm)
         resampled16 = bank16
+        clipped = zero_clip
     else:
 
         def do_resample(_):
@@ -178,7 +180,24 @@ def _resample_and_refine(
                 # predicate below is replicated, so every device takes
                 # the same branch)
                 out = resample_fn(key, weights_norm, bank16)
-                return out.resampled, out.most
+                return out.resampled, out.most, out.clipped.astype(jnp.int32)
+            if config.use_pallas_resample and jax.default_backend() != "cpu":
+                # opt-in sort-free Pallas decode path; its own lax.cond
+                # falls back to the sort path when a weight
+                # concentration exceeds the decode window coverage
+                from ..pf.pallas_resample import resample_bank_pallas
+
+                def _fallback(k, w, b16):
+                    anc, counts, most = stratified_resample_soa(k, w)
+                    return (
+                        bank_restore_pin(gather_soa(bank_top_pin(b16), anc)),
+                        most,
+                    )
+
+                res16, most = resample_bank_pallas(
+                    key, weights_norm, bank16, _fallback
+                )
+                return res16, most, zero_clip
             if config.use_closed_form_resample:
                 anc, counts, most = stratified_resample_closed(key, weights_norm)
             else:
@@ -196,7 +215,7 @@ def _resample_and_refine(
                 res16 = bank_restore_pin(gather_soa(bank_top_pin(bank16), anc))
             else:
                 res16 = gather_soa(bank16, anc)
-            return res16, most
+            return res16, most, zero_clip
 
         if config.resample_min_ess > 0.0:
             # ESS-gated resampling (see TrackerConfig.resample_min_ess):
@@ -209,14 +228,18 @@ def _resample_and_refine(
                 jnp.sum(weights_norm * weights_norm)
                 * jnp.asarray(weights_norm.shape[0], weights_norm.dtype)
             )
-            resampled16, most = jax.lax.cond(
+            resampled16, most, clipped = jax.lax.cond(
                 ess_frac < config.resample_min_ess,
                 do_resample,
-                lambda _: (bank16, jnp.argmax(weights_norm).astype(jnp.int32)),
+                lambda _: (
+                    bank16,
+                    jnp.argmax(weights_norm).astype(jnp.int32),
+                    zero_clip,
+                ),
                 None,
             )
         else:
-            resampled16, most = do_resample(None)
+            resampled16, most, clipped = do_resample(None)
 
     dtype = bank16.dtype
     pre_gn = pick_lane(bank16, most).reshape(4, 4)
@@ -354,6 +377,7 @@ def _resample_and_refine(
         resampled=resampled16,
         weights=weights_norm,
         bank=bank16,
+        resample_clipped=state.resample_clipped + clipped,
     )
     state = _update_pose_times(state, t, final_pose)
     return state, jump
@@ -1121,6 +1145,7 @@ def tracker_step(
         best_weight=best_weight,
         blob_area_sum=jnp.sum(det.area),
         exposure_us=state.exposure.exposure_us,
+        resample_clipped=state.resample_clipped,
     )
     return state, result
 

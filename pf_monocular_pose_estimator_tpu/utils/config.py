@@ -44,6 +44,10 @@ class TrackerConfig:
     split_merged_blobs: bool = True
     split_max_factor: float = 2.5
     split_min_elongation: float = 1.5
+    # bimodality gate: split only when the centroid intensity dips below
+    # this ratio of the dimmer child peak (rejects motion-blur streaks
+    # that share a merged pair's covariance footprint; ops/blob.py)
+    split_dip_ratio: float = 0.75
 
     # --- tolerances / thresholds (cfg:18-21, 32) ---
     back_projection_pixel_tolerance: float = 5.0
@@ -97,6 +101,19 @@ class TrackerConfig:
     # gathers/scatters are only fast when a fusion elides them.  The
     # sort path stays the TPU default; this one suits CPU backends.
     use_closed_form_resample: bool = False
+    # sort-free windowed Pallas resampler (pf/pallas_resample.py):
+    # probe-rank pre-pass + a windowed bisect/dyn-gather decode kernel,
+    # ~190 us vs ~520 us for sort+gather at N=100k on v5e WHEN the
+    # decode windows cover the weight profile.  OFF by default: real
+    # steady-state weight profiles (~40% zero lanes after the tolerance
+    # gate) concentrate enough that blocks overflow the 12-chunk window
+    # and the kernel's own lax.cond then runs the sort fallback anyway —
+    # i.e. for the production profiles this is a measured negative
+    # result kept as an opt-in fast path for weight regimes it does
+    # cover (commit 19b7089; benchmarks/bench_pallas_resample.py).
+    # Ignored on CPU backends and by the mesh-sharded step (which uses
+    # the explicit distributed scheme).
+    use_pallas_resample: bool = False
     # ESS-gated resampling (engine extension; 0.0 = reference parity =
     # resample every accepted frame).  When > 0, the stratified resample
     # + bank gather (the two costliest non-kernel stages, ~0.45 ms/frame
@@ -294,4 +311,5 @@ class TrackerConfig:
             split_merged=self.split_merged_blobs,
             split_max_factor=self.split_max_factor,
             split_min_elongation=self.split_min_elongation,
+            split_dip_ratio=self.split_dip_ratio,
         )

@@ -57,16 +57,12 @@ def test_distributed_matches_single_device():
     out = jax.jit(resample)(key, weights_s, bank_s)
 
     assert int(out.clipped) == 0
-    got = np.asarray(out.resampled)
-    exp = np.asarray(expected)
-    # identical canonical assignment -> identical slots (f32 boundary
-    # rounding between local-cumsum+offset and global cumsum can shift
-    # isolated draws by one ancestor)
-    mismatch = np.any(got != exp, axis=0).mean()
-    assert mismatch < 0.01, f"{mismatch:.3%} of slots differ"
-    np.testing.assert_array_equal(
-        np.sort(np.asarray(out.counts))[-10:], np.sort(np.asarray(counts_ref))[-10:]
-    )
+    # ONE chunked fixed-association CDF (pf.soa.chunked_cdf_norm) on
+    # both paths since round 5 -> identical canonical assignment ->
+    # EXACT slot-for-slot equality (round 4's <1% tolerance covered the
+    # sort path's plain-cumsum CDF rounding differently)
+    np.testing.assert_array_equal(np.asarray(out.resampled), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(out.counts), np.asarray(counts_ref))
     assert int(out.most) == int(most_ref)
 
 
@@ -82,9 +78,8 @@ def test_distributed_handles_uniform_and_zero_weights():
         out = jax.jit(resample)(key, weights, bank)
         anc, counts_ref, _ = stratified_resample_soa(key, weights)
         expected = np.asarray(gather_soa(bank, anc))
-        got = np.asarray(out.resampled)
-        mismatch = np.any(got != expected, axis=0).mean()
-        assert mismatch < 0.01
+        np.testing.assert_array_equal(np.asarray(out.resampled), expected)
+        np.testing.assert_array_equal(np.asarray(out.counts), np.asarray(counts_ref))
         assert int(out.clipped) == 0
 
 
@@ -109,9 +104,7 @@ def test_skew_within_reach_is_exact_and_beyond_reach_is_diagnosed():
     assert int(out_full.clipped) == 0
     anc, _, _ = stratified_resample_soa(key, weights)
     expected = np.asarray(gather_soa(bank, anc))
-    got = np.asarray(out_full.resampled)
-    mismatch = np.any(got != expected, axis=0).mean()
-    assert mismatch < 0.01
+    np.testing.assert_array_equal(np.asarray(out_full.resampled), expected)
 
 
 def _collect_all_gather_sizes(hlo_text):
@@ -245,6 +238,84 @@ def test_cross_width_bit_reproducible():
         np.testing.assert_array_equal(got[0], ref[0], err_msg=f"P={width}")
         np.testing.assert_array_equal(got[1], ref[1], err_msg=f"P={width}")
         assert got[2] == ref[2]
+
+
+def test_collective_invariants_across_widths():
+    """SURVEY §7 hard-part 4, round-5 (VERDICT r4 #7): turn the scaling
+    artifact's prose caveat into a checked property.  From the compiled
+    sharded tracker step at P in {2, 4, 8} (same N):
+
+      * per-frame collective COUNTS are P-independent — the schedule
+        (one chunk-sum all-gather, one packed diagnostic all-gather,
+        ring ppermutes, scalar psums) never grows with the mesh width;
+      * collective-permute bytes per device scale as O(S * reach) =
+        O(N/P) — the ring ships neighbour blocks, so doubling the width
+        HALVES the per-device ring traffic (a regression that routed
+        bank-scale data through the ring would show up as P-independent
+        or growing bytes).
+
+    HLO is per-device under SPMD, so parsed result bytes are per-device
+    transfer volumes."""
+    import os
+    import sys
+
+    import jax.numpy as jnp2
+    from pf_monocular_pose_estimator_tpu.io.synthetic import (
+        default_camera,
+        demo_markers,
+    )
+    from pf_monocular_pose_estimator_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_tracker,
+        shard_target_state,
+    )
+    from pf_monocular_pose_estimator_tpu.tracker import TargetState
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from benchmarks.collective_volume import parse_collectives
+
+    n = 8192
+    camera = default_camera()
+    markers = demo_markers()
+    config = TrackerConfig(n_particles=n, min_blob_area=8.0, pf_max_retries=2)
+    image = jnp2.zeros((camera.height, camera.width), jnp2.float32)
+    t = jnp2.asarray(0.02, jnp2.float32)
+
+    accs = {}
+    for p in (2, 4, 8):
+        mesh = make_mesh(particle_devices=p, devices=jax.devices()[:p])
+        step = make_sharded_tracker(
+            camera, markers, jnp2.ones((markers.shape[0],), bool), config, mesh
+        )
+        state = shard_target_state(
+            TargetState.create(n, jax.random.PRNGKey(0)), mesh
+        )
+        hlo = step.lower(state, image, t).compile().as_text()
+        accs[p] = parse_collectives(hlo)
+
+    # 1. collective counts are width-independent, op family by op family
+    counts = {p: {k: v["count"] for k, v in acc.items()} for p, acc in accs.items()}
+    assert counts[4] == counts[2], f"P=4 {counts[4]} vs P=2 {counts[2]}"
+    assert counts[8] == counts[2], f"P=8 {counts[8]} vs P=2 {counts[2]}"
+
+    # 2. ring bytes per device scale as O(S) = O(N/P): each doubling of
+    # the width should (roughly) halve them.  25% slack for the window
+    # rounding (S//4 payload columns) and scalar side channels.
+    ring = {p: accs[p]["collective-permute"]["bytes"] for p in (2, 4, 8)}
+    assert ring[2] > 0
+    for p in (4, 8):
+        expected = ring[2] * (2 / p)
+        assert ring[p] <= expected * 1.25, (
+            f"P={p}: ring bytes {ring[p]} not O(N/P) (expected ~{expected:.0f})"
+        )
+    # 3. everything that is NOT the ring stays scalar-scale at EVERY width
+    for p in (2, 4, 8):
+        acc = accs[p]
+        assert acc["all-gather"]["bytes"] <= 64 * 1024, (p, acc)
+        assert acc["all-reduce"]["bytes"] <= 16 * 1024, (p, acc)
+        assert acc["all-to-all"]["bytes"] <= 64 * 1024, (p, acc)
+        assert acc["reduce-scatter"]["bytes"] <= 16 * 1024, (p, acc)
 
 
 def test_payload_window_matches_full_blocks():

@@ -131,3 +131,6 @@ def test_sharded_step_with_pallas_matches_unsharded(camera, markers):
         np.testing.assert_allclose(
             np.asarray(s1.bank), np.asarray(s2.bank), atol=1e-4
         )
+        # distributed-resampler clip diagnostic (FrameResult.resample_clipped,
+        # round-5): healthy tracking never exceeds the auto payload window
+        assert int(r2.resample_clipped) == 0, f"frame {i}"
