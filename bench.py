@@ -34,12 +34,28 @@ def main():
     # The round-3 verdict's acceptance bar: within ~10% of the unsharded
     # fps — proves pod-scale runs keep single-chip kernel speed.
     ap.add_argument("--sharded", action="store_true")
+    # override the ESS resampling gate (None = TrackerConfig default
+    # 0.15; 0.0 = resample every accepted frame, reference semantics)
+    ap.add_argument("--ess-tau", type=float, default=None)
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent XLA compilation cache")
     args = ap.parse_args()
     if args.sharded and args.targets > 1:
         ap.error("--sharded and --targets are mutually exclusive "
                  "(the multi-target mesh path is benchmarks/sharded_bench.py)")
 
     import jax
+
+    if not args.no_cache:
+        # persistent XLA compilation cache (VERDICT r4 #10): the cold
+        # compile of the flagship step grew to ~60 s; a warm start hits
+        # the on-disk cache instead.  compile_s in the output is the
+        # observed (cold or warm) time.
+        from pf_monocular_pose_estimator_tpu.utils.compile_cache import (
+            enable_persistent_cache,
+        )
+
+        enable_persistent_cache()
     import jax.numpy as jnp
 
     from pf_monocular_pose_estimator_tpu.geometry.se3 import exp_se3
@@ -56,12 +72,15 @@ def main():
     camera = default_camera()
     markers = demo_markers()
     marker_mask = jnp.ones((markers.shape[0],), bool)
-    config = TrackerConfig(
+    cfg_kw = dict(
         n_particles=n_particles,
         min_blob_area=8.0,
         pf_max_retries=8,
         roi_particle_subsample=128,
     )
+    if args.ess_tau is not None:
+        cfg_kw["resample_min_ess"] = args.ess_tau
+    config = TrackerConfig(**cfg_kw)
 
     seq = make_orbit_sequence(camera, markers, num_frames=num_frames, fps=50.0)
     frames = jax.device_put(seq.frames)
@@ -159,7 +178,9 @@ def main():
 
     label = f"tracking_fps_752x480_{n_particles//1000}k_particles" + (
         f"_{args.targets}targets" if args.targets > 1 else ""
-    ) + ("_sharded_mesh" if args.sharded else "")
+    ) + ("_sharded_mesh" if args.sharded else "") + (
+        f"_ess{args.ess_tau}" if args.ess_tau is not None else ""
+    )
     print(
         json.dumps(
             {

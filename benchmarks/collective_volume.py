@@ -71,7 +71,7 @@ def parse_collectives(hlo_text: str) -> dict:
     `-start` variants (async) are counted; their `-done` halves are not
     (same transfer).
     """
-    out = {name: {"count": 0, "bytes": 0} for name in _COLLECTIVES}
+    out = {name: {"count": 0, "bytes": 0, "sizes": []} for name in _COLLECTIVES}
     for line in hlo_text.splitlines():
         m = re.search(r"=\s*(.+?)\s+([a-z\-]+)(?:-start)?\(", line)
         if not m:
@@ -81,8 +81,10 @@ def parse_collectives(hlo_text: str) -> dict:
             continue
         if f"{op}-done" in line:
             continue
+        b = _shape_bytes(m.group(1))
         out[op]["count"] += 1
-        out[op]["bytes"] += _shape_bytes(m.group(1))
+        out[op]["bytes"] += b
+        out[op]["sizes"].append(b)
     return out
 
 

@@ -45,6 +45,8 @@ def build_parser():
         help="record the input sequence to this .pfsq container (rosbag-record analogue)",
     )
     p.add_argument("--device", type=str, default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--no-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     p.add_argument("--occlusions", type=int, default=None)
     p.add_argument("--false-detections", type=int, default=None)
     p.add_argument("--pf-retries", type=int, default=None)
@@ -123,6 +125,13 @@ def main(argv=None):
 
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if not args.no_cache:
+        # persistent compilation cache: the reference node starts
+        # instantly (node.cpp:28-37); warm CLI starts skip the ~60 s
+        # cold XLA compile (utils/compile_cache.py)
+        from ..utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
     import jax.numpy as jnp
     import numpy as np
 

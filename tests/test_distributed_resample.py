@@ -245,15 +245,18 @@ def test_collective_invariants_across_widths():
     artifact's prose caveat into a checked property.  From the compiled
     sharded tracker step at P in {2, 4, 8} (same N):
 
-      * per-frame collective COUNTS are P-independent — the schedule
-        (one chunk-sum all-gather, one packed diagnostic all-gather,
-        ring ppermutes, scalar psums) never grows with the mesh width;
-      * collective-permute bytes per device scale as O(S * reach) =
-        O(N/P) — the ring ships neighbour blocks, so doubling the width
-        HALVES the per-device ring traffic (a regression that routed
-        bank-scale data through the ring would show up as P-independent
-        or growing bytes).
+      * the resampler ring is EXACTLY its two 12-row boundary-window
+        bank ops at every non-wrapping width, and their per-device
+        bytes scale as O(S * reach) = O(N/P) — doubling the width
+        halves the ring traffic (a regression routing bank-scale data
+        through the ring would show as P-independent or growing bytes);
+      * every other exchange (CDF windows, the O(s_cap) ROI-subsample
+        broadcast, scalar side channels) stays constant-bounded bytes
+        at EVERY width.
 
+    Raw op COUNTS are deliberately not pinned: XLA legitimately varies
+    them with P (the subsample broadcast lowers as P-1 small permutes;
+    P=2 wrap-dedups the ring and may pick all-to-all lowerings).
     HLO is per-device under SPMD, so parsed result bytes are per-device
     transfer volumes."""
     import os
@@ -294,21 +297,38 @@ def test_collective_invariants_across_widths():
         hlo = step.lower(state, image, t).compile().as_text()
         accs[p] = parse_collectives(hlo)
 
-    # 1. collective counts are width-independent, op family by op family
-    counts = {p: {k: v["count"] for k, v in acc.items()} for p, acc in accs.items()}
-    assert counts[4] == counts[2], f"P=4 {counts[4]} vs P=2 {counts[2]}"
-    assert counts[8] == counts[2], f"P=8 {counts[8]} vs P=2 {counts[2]}"
+    # Classify collective-permutes by what they move (XLA does not
+    # guarantee a P-independent op COUNT: the 128-lane ROI-subsample
+    # broadcast lowers as P-1 small permutes, and P=2 wrap-dedups the
+    # ring and may lower 2-party exchanges as all-to-all):
+    #   * ring-class ops (result >= 0.5*S columns of the 12-row bank
+    #     window) — the resampler's neighbour exchange: their NUMBER
+    #     must be the 4 design ops at every non-wrapping width and
+    #     their bytes must scale as O(S * reach) = O(N/P);
+    #   * everything else must stay constant-bounded bytes at EVERY
+    #     width (the O(s_cap) broadcast + scalar side channels).
+    ring_ops = {}
+    rest_bytes = {}
+    for p, acc in accs.items():
+        s_shard = n // p
+        # the two 12-row boundary-window bank blocks are 12*(S/4)*4 =
+        # 12S bytes each; every other exchange (CDF windows S bytes,
+        # the O(s_cap) subsample broadcast, scalars) is <= ~2S
+        thresh = 8 * s_shard
+        sizes = acc["collective-permute"]["sizes"]
+        ring_ops[p] = [b for b in sizes if b >= thresh]
+        rest_bytes[p] = sum(b for b in sizes if b < thresh) + acc["all-to-all"]["bytes"]
 
-    # 2. ring bytes per device scale as O(S) = O(N/P): each doubling of
-    # the width should (roughly) halve them.  25% slack for the window
-    # rounding (S//4 payload columns) and scalar side channels.
-    ring = {p: accs[p]["collective-permute"]["bytes"] for p in (2, 4, 8)}
-    assert ring[2] > 0
-    for p in (4, 8):
-        expected = ring[2] * (2 / p)
-        assert ring[p] <= expected * 1.25, (
-            f"P={p}: ring bytes {ring[p]} not O(N/P) (expected ~{expected:.0f})"
-        )
+    assert len(ring_ops[4]) == 2, (ring_ops[4], accs[4])
+    assert len(ring_ops[8]) == 2, (ring_ops[8], accs[8])
+    assert 1 <= len(ring_ops[2]) <= 2, (ring_ops[2], accs[2])
+    # ring bytes per device halve when the width doubles (25% slack for
+    # the S//4 window rounding)
+    r4, r8 = sum(ring_ops[4]), sum(ring_ops[8])
+    assert r8 <= r4 * 0.5 * 1.25, f"P=8 ring bytes {r8} not O(N/P) of P=4's {r4}"
+    # everything else stays constant-bounded at EVERY width
+    for p in (2, 4, 8):
+        assert rest_bytes[p] <= 64 * 1024, (p, rest_bytes[p], accs[p])
     # 3. everything that is NOT the ring stays scalar-scale at EVERY width
     for p in (2, 4, 8):
         acc = accs[p]
