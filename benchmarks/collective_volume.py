@@ -21,7 +21,7 @@ the frames that take the branch.
 
 Run on the virtual CPU mesh (no TPUs needed):
     python benchmarks/collective_volume.py [--particles 65536]
-Writes COLLECTIVES_r04.json next to the repo root when --write is given.
+Writes COLLECTIVES_r05.json next to the repo root when --write is given.
 """
 
 from __future__ import annotations
@@ -143,7 +143,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=65536)
     ap.add_argument("--devices", type=int, nargs="*", default=[2, 4, 8])
-    ap.add_argument("--write", action="store_true", help="write COLLECTIVES_r04.json")
+    ap.add_argument("--write", action="store_true", help="write COLLECTIVES_r05.json")
     args = ap.parse_args()
 
     rows = []
@@ -161,7 +161,7 @@ def main():
 
     if args.write:
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                            "COLLECTIVES_r04.json")
+                            "COLLECTIVES_r05.json")
         with open(path, "w") as f:
             json.dump(
                 {

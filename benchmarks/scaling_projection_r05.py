@@ -1,0 +1,265 @@
+"""Round-5 weak-scaling projection at HEAD (VERDICT r4 weak #1).
+
+The round-4 projection mixed round-3 frame times (1.37 ms) with round-4
+collective tables and did not model the ESS resampling gate; re-derived
+at HEAD it failed its own bar.  This rebuild uses ONLY round-5 inputs:
+
+  1. Per-chip frame times measured THIS round on the real chip
+     (BENCH_SESSION_r05.json): 0.753 ms/frame at 100k with the default
+     ESS gate (tau=0.15), 1.082 ms with resample-every-frame.
+  2. Per-device collective traffic from the compiled sharded step at
+     HEAD, classified into ESS-GATED collectives (those inside the
+     computations that carry the boundary-window ppermute ring — the
+     chunk-sum all-gather, the ring itself, the packed diagnostics) vs
+     ALWAYS-ON collectives (weight psums, acceptance gates, the
+     O(s_cap) ROI-subsample broadcast).  Gated traffic is amortised by
+     the measured firing rate (benchmarks/ess_dynamics.py at HEAD).
+  3. Public v5e interconnect figures (jax-ml.github.io/scaling-book):
+     ICI ~4.5e10 B/s one-way neighbour link, DCN ~2.5e10 B/s per host;
+     1 us ICI / 10 us DCN latency per collective launch.
+
+Model caveats (all conservative):
+  * static HLO collective counts are per-frame UPPER bounds — init- and
+    track-branch collectives are summed even though only one branch
+    executes per frame;
+  * no compute/communication overlap in the headline number; the
+    `efficiency_ring_overlap` column hides only the ring PAYLOAD time
+    under the resample sorts (~200 us of independent per-fire compute,
+    measured as the ESS-off minus ESS-on frame-time delta), latencies
+    stay exposed;
+  * weak scaling: 100k particles PER CHIP; per-chip compute time is the
+    measured single-chip time at 100k.
+
+Usage (virtual CPU mesh, no TPU needed):
+    python benchmarks/scaling_projection_r05.py --write
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+ICI_BW = 4.5e10
+DCN_BW = 2.5e10
+ICI_LAT = 1e-6
+DCN_LAT = 10e-6
+FRAME_BYTES = 752 * 480
+
+_COLL_RE = re.compile(
+    r"=\s*(.+?)\s+(all-gather|all-reduce|reduce-scatter|collective-permute|all-to-all)(?:-start)?\("
+)
+
+
+def split_computations(hlo: str):
+    """{computation_name: [line, ...]} from post-optimization HLO text."""
+    comps = {}
+    name, depth, buf = None, 0, []
+    for line in hlo.splitlines():
+        if depth == 0:
+            m = re.match(r"\s*(?:ENTRY\s+)?(%?[\w\.\-]+)\s*(?:\([^)]*\))?.*{\s*$", line)
+            if m and "{" in line:
+                name, buf = m.group(1), [line]
+                depth = line.count("{") - line.count("}")
+                if depth == 0 and name:
+                    comps[name] = buf
+                    name = None
+                continue
+        else:
+            buf.append(line)
+            depth += line.count("{") - line.count("}")
+            if depth <= 0 and name:
+                comps[name] = buf
+                name, depth = None, 0
+    return comps
+
+
+def classify_collectives(hlo: str, s_shard: int):
+    """(always, gated): {family: {count, bytes}} per-device, where gated
+    = collectives living in computations that contain a ring-class
+    (>= 8*S bytes) collective-permute — the ESS-gated resampler body."""
+    from benchmarks.collective_volume import _shape_bytes
+
+    comps = split_computations(hlo)
+    per_comp = {}
+    for cname, lines in comps.items():
+        ops = []
+        for line in lines:
+            m = _COLL_RE.search(line)
+            if m and "-done" not in line.split("=")[1][:60]:
+                ops.append((m.group(2), _shape_bytes(m.group(1))))
+        if ops:
+            per_comp[cname] = ops
+
+    gated_comps = {
+        c for c, ops in per_comp.items()
+        if any(f == "collective-permute" and b >= 8 * s_shard for f, b in ops)
+    }
+    always, gated = {}, {}
+    for c, ops in per_comp.items():
+        tgt = gated if c in gated_comps else always
+        for fam, b in ops:
+            e = tgt.setdefault(fam, {"count": 0, "bytes": 0})
+            e["count"] += 1
+            e["bytes"] += b
+    return always, gated
+
+
+def compile_and_classify(n_particles: int, devices: int):
+    import jax
+    import jax.numpy as jnp
+
+    from pf_monocular_pose_estimator_tpu.io.synthetic import (
+        default_camera,
+        demo_markers,
+    )
+    from pf_monocular_pose_estimator_tpu.parallel.mesh import (
+        make_mesh,
+        make_sharded_tracker,
+        shard_target_state,
+    )
+    from pf_monocular_pose_estimator_tpu.tracker import TargetState
+    from pf_monocular_pose_estimator_tpu.utils import TrackerConfig
+
+    camera = default_camera()
+    markers = demo_markers()
+    config = TrackerConfig(n_particles=n_particles, min_blob_area=8.0, pf_max_retries=2)
+    mesh = make_mesh(particle_devices=devices, devices=jax.devices()[:devices])
+    step = make_sharded_tracker(
+        camera, markers, jnp.ones((markers.shape[0],), bool), config, mesh
+    )
+    state = shard_target_state(
+        TargetState.create(n_particles, jax.random.PRNGKey(0)), mesh
+    )
+    image = jnp.zeros((camera.height, camera.width), jnp.float32)
+    t = jnp.asarray(0.02, jnp.float32)
+    hlo = step.lower(state, image, t).compile().as_text()
+    return classify_collectives(hlo, n_particles // devices)
+
+
+def _comm_time(table: dict, scale: float, hosts: int, p: int):
+    """Seconds/frame for one collective table at the projected shard
+    scale; ring permutes pay DCN on their 2/p host-crossing edges."""
+    total = 0.0
+    for fam, e in table.items():
+        bytes_dev = e["bytes"] * scale
+        if hosts == 1:
+            total += bytes_dev / ICI_BW + e["count"] * ICI_LAT
+        elif fam == "collective-permute":
+            cross = 2.0 / p
+            total += (
+                bytes_dev * (1 - cross) / ICI_BW
+                + bytes_dev * cross / DCN_BW
+                + e["count"] * DCN_LAT
+            )
+        else:
+            total += bytes_dev / ICI_BW + e["count"] * DCN_LAT
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true")
+    ap.add_argument("--particles", type=int, default=65536)
+    ap.add_argument("--per-chip", type=int, default=100_000)
+    ap.add_argument("--fire-rate", type=float, default=None,
+                    help="measured ESS firing rate (default: from the "
+                         "session JSON note / ess_dynamics measurement)")
+    args = ap.parse_args()
+
+    with open(os.path.join(ROOT, "BENCH_SESSION_r05.json")) as f:
+        sess = json.load(f)
+    t1_ess = 1.0 / sess["runs"]["100k_default_warm"]["fps"]
+    t1_noess = 1.0 / sess["runs"]["100k_ess_off"]["fps"]
+    # per-fire resample-stage compute window (sorts+gather) that async
+    # ring payloads can hide under
+    sort_window = max(t1_noess - t1_ess, 0.0)
+
+    rate = args.fire_rate
+    if rate is None:
+        rate = sess.get("ess_fire_rate_head", 0.12)
+
+    rows = [{
+        "chips": 1, "hosts": 1,
+        "t_frame_ms": round(t1_ess * 1e3, 4),
+        "fps": round(1 / t1_ess, 1), "efficiency": 1.0, "comm_us": 0.0,
+    }]
+    for p in (2, 4, 8):
+        always, gated = compile_and_classify(args.particles, p)
+        scale = args.per_chip * p / args.particles  # project to 100k/chip
+        for hosts in (1, 2):
+            c_always = _comm_time(always, scale, hosts, p)
+            c_gated_fire = _comm_time(gated, scale, hosts, p)
+            ring_bytes = sum(
+                e["bytes"] for f, e in gated.items() if f == "collective-permute"
+            ) * scale
+            ring_bw = DCN_BW if hosts == 2 else ICI_BW  # worst edge
+            ring_time = ring_bytes * (2.0 / p if hosts == 2 else 1.0) / ring_bw \
+                + ring_bytes * (1 - (2.0 / p if hosts == 2 else 1.0)) / ICI_BW
+
+            # ESS-amortised (production default)
+            comm = c_always + rate * c_gated_fire
+            t = t1_ess + comm
+            hidden = rate * min(ring_time, sort_window)
+            t_ov = t - hidden
+            # no gate (reference resample-every-frame semantics)
+            comm_ng = c_always + c_gated_fire
+            t_ng = t1_noess + comm_ng
+            rows.append({
+                "chips": p, "hosts": hosts,
+                "t_frame_ms": round(t * 1e3, 4),
+                "fps": round(1 / t, 1),
+                "efficiency": round(t1_ess / t, 4),
+                "efficiency_ring_overlap": round(t1_ess / t_ov, 4),
+                "comm_us": round(comm * 1e6, 1),
+                "comm_us_always_on": round(c_always * 1e6, 1),
+                "comm_us_per_resample_fire": round(c_gated_fire * 1e6, 1),
+                "no_gate_t_frame_ms": round(t_ng * 1e3, 4),
+                "no_gate_efficiency": round(t1_noess / t_ng, 4),
+                "frame_broadcast_us_pipelined": round(FRAME_BYTES / DCN_BW * 1e6, 1),
+            })
+
+    two_host = [r for r in rows if r.get("hosts") == 2]
+    meets = all(r["efficiency"] >= 0.8 for r in two_host)
+    meets_ng = all(r["no_gate_efficiency"] >= 0.8 for r in two_host)
+    out = {
+        "note": (
+            "PROJECTED weak-scaling efficiency at HEAD (one real chip in "
+            "this environment). Inputs: measured r5 frame times "
+            f"({t1_ess*1e3:.3f} ms ESS-gated / {t1_noess*1e3:.3f} ms "
+            "resample-every-frame, BENCH_SESSION_r05.json), per-device "
+            "collectives of the HEAD sharded step classified gated "
+            "(inside the ring computations, amortised by the measured "
+            f"ESS firing rate {rate}) vs always-on, v5e ICI 45 GB/s / "
+            "DCN 25 GB/s, 1/10 us launch latencies, no overlap except "
+            "the ring-payload-under-sorts column. Static counts are "
+            "upper bounds (init+track branches summed)."
+        ),
+        "ess_fire_rate": rate,
+        "sort_window_us_per_fire": round(sort_window * 1e6, 1),
+        "rows": rows,
+        "bar": "BASELINE.md: >=80% weak-scaling efficiency at >=2 hosts",
+        "meets_bar_ess_gated": meets,
+        "meets_bar_no_gate": meets_ng,
+    }
+    print(json.dumps(out, indent=1))
+    if args.write:
+        path = os.path.join(ROOT, "SCALING_PROJECTION_r05.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    main()

@@ -225,18 +225,25 @@ def _split_and_compact(
     oy = uy / norm * off
 
     if img is not None and params.split_dip_ratio < 1e6:
-        # Intensity-dip bimodality gate (round 5): second moments alone
-        # cannot distinguish a genuinely MERGED pair of LEDs (bimodal —
-        # an intensity saddle sits between two peaks) from a single
-        # motion-blur STREAK (a monotone ridge with the same covariance
-        # footprint).  On the realistic golden the streaks were being
-        # split into phantom detections 3-12 px from the true centroid,
-        # which captured greedy PF bindings and inflated depth error
-        # ~1.5x (measured: 3.12 mm -> 2.14 mm ATE at 500 particles with
-        # the phantoms removed).  Sample the raw frame at the candidate
-        # centre and at the two child centroids: split only when the
-        # centre is dimmer than split_dip_ratio x the dimmer child
-        # (measured margins: merged pairs 0.13-0.40, streaks 0.95-1.15).
+        # Bimodality gate (round 5): second moments alone cannot
+        # distinguish a genuinely MERGED pair of LEDs from a single
+        # motion-blur STREAK with the same covariance footprint.  On
+        # the realistic golden the streaks were being split into
+        # phantom detections 3-12 px from the true centroid, which
+        # captured greedy PF bindings and inflated depth error ~1.5x
+        # (measured: 3.12 mm -> 2.14 mm ATE at 500 particles with the
+        # phantoms removed).  Two complementary single-pixel-probe
+        # tests, split when EITHER fires:
+        #   (a) intensity saddle on the principal axis: the centre is
+        #       dimmer than split_dip_ratio x the dimmer child peak
+        #       (Gaussian-falloff pairs; measured margins 0.13-0.40 on
+        #       merged pairs vs 0.95-1.15 on streaks);
+        #   (b) waist thinness, for SATURATED pairs whose saddle clips
+        #       at full scale: probing one perpendicular step k ~
+        #       sqrt(lam_min) off the axis, a dumbbell's waist is
+        #       empty while its lobes are wide; a streak has the same
+        #       width everywhere (and a thread-thin streak fails the
+        #       lobes-wide check).
         # Passive (BINARY_INV) mode inverts the frame first — markers
         # are dark there, so the saddle is BRIGHTER between dark peaks.
         h_i, w_i = img.shape
@@ -250,8 +257,27 @@ def _split_and_compact(
         i_c = _sample(cx, cy)
         i_1 = _sample(cx + ox, cy + oy)
         i_2 = _sample(cx - ox, cy - oy)
-        dip = i_c <= params.split_dip_ratio * jnp.minimum(i_1, i_2)
-        split_ok = split_ok & dip
+        ratio = params.split_dip_ratio
+        dip_axis = i_c <= ratio * jnp.minimum(i_1, i_2)
+
+        # probe one perpendicular step off the axis: ~0.8 sigma of the
+        # minor-axis spread (lam_min is measured on the blur-EXPANDED
+        # foreground support, so a full sigma step lands outside the
+        # raw lobes of small blobs)
+        perp_k = jnp.sqrt(jnp.maximum(lam_min, 1.0)) * 0.8 + 0.5
+        px_ = -(uy / norm) * perp_k
+        py_ = (ux / norm) * perp_k
+
+        def _perp_min(xc, yc):
+            return jnp.minimum(
+                _sample(xc + px_, yc + py_), _sample(xc - px_, yc - py_)
+            )
+
+        w_c = _perp_min(cx, cy)
+        w_lobe = jnp.minimum(_perp_min(cx + ox, cy + oy), _perp_min(cx - ox, cy - oy))
+        lobes_wide = w_lobe >= 0.5 * jnp.minimum(i_1, i_2)
+        thin_waist = w_c <= ratio * w_lobe
+        split_ok = split_ok & (dip_axis | (lobes_wide & thin_waist))
 
     p_valid = valid | split_ok
     p_x = jnp.where(split_ok, cx + ox, cx)
