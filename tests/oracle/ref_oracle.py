@@ -548,7 +548,16 @@ def optimise_pose(
             break
         if i + 1 == max_itr and e_init < e_end:
             pose = pose_init
-    covariance = np.linalg.inv(a_mat)
+    # The reference computes A.inverse() via Eigen (pose_estimator.cpp:
+    # 2004), which does NOT throw on a singular A — it returns a
+    # garbage/inf matrix and the node carries on.  numpy's inv raises;
+    # use pinv on the singular path so the port keeps the reference's
+    # keep-running behaviour (hit under fault injection when a frame's
+    # correspondences collapse to a degenerate geometry).
+    try:
+        covariance = np.linalg.inv(a_mat)
+    except np.linalg.LinAlgError:
+        covariance = np.linalg.pinv(a_mat)
     return pose, covariance, num_iter
 
 
