@@ -107,7 +107,80 @@ def classify_collectives(hlo: str, s_shard: int):
             e = tgt.setdefault(fam, {"count": 0, "bytes": 0})
             e["count"] += 1
             e["bytes"] += b
-    return always, gated
+    return always, gated, {c.lstrip("%") for c in gated_comps}
+
+
+_OP_RE = re.compile(
+    r"^\s*(?:ROOT\s+)?(%[\w\.\-]+)\s*=\s*.*?\s([\w\-]+)\((.*)$"
+)
+_CALL_RE = re.compile(
+    r"(?:to_apply|body|condition|calls)=(%[\w\.\-]+)|branch_computations=\{([^}]*)\}"
+)
+
+
+def collective_depths(hlo: str, gated_comps: set):
+    """Collective critical-path DEPTHS of the entry computation: the
+    maximum number of collectives on any def-use dependency path —
+    (d_total, d_always).  Independent collectives overlap their launch
+    latency (XLA emits async start/done pairs), so the per-frame
+    latency bill is depth x LAT, not count x LAT; d_always counts only
+    collectives outside the ESS-gated resampler computations.  HLO is
+    topologically ordered within a computation; called computations
+    (while bodies, conditional branches — max over branches, fusions)
+    contribute their own internal depth at the call site."""
+    comps = split_computations(hlo)
+    bodies = {name.lstrip("%"): lines for name, lines in comps.items()}
+    memo = {}
+
+    def comp_depth(cname):
+        cname = cname.lstrip("%")
+        if cname in memo:
+            return memo[cname]
+        memo[cname] = (0, 0)  # cycle guard (HLO has none, but be safe)
+        lines = bodies.get(cname, [])
+        depth = {}
+        best = (0, 0)
+        gated_here = cname in gated_comps
+        for line in lines:
+            m = _OP_RE.match(line)
+            if not m:
+                continue
+            name, op = m.group(1), m.group(2)
+            rest = m.group(3)
+            cm = _COLL_RE.search(line)
+            is_coll = cm is not None and "-done" not in op
+            w_tot = 1 if is_coll else 0
+            w_alw = 1 if (is_coll and not gated_here) else 0
+            # called computations add their internal depth (max over
+            # conditional branches)
+            c_tot = c_alw = 0
+            for call in _CALL_RE.finditer(line):
+                if call.group(1):
+                    dt, da = comp_depth(call.group(1))
+                    c_tot, c_alw = max(c_tot, dt), max(c_alw, da)
+                else:
+                    for branch in re.findall(r"%[\w\.\-]+", call.group(2)):
+                        dt, da = comp_depth(branch)
+                        c_tot, c_alw = max(c_tot, dt), max(c_alw, da)
+            o_tot = o_alw = 0
+            for tok in re.findall(r"%[\w\.\-]+", rest.split("),")[0]):
+                if tok in depth:
+                    dt, da = depth[tok]
+                    o_tot, o_alw = max(o_tot, dt), max(o_alw, da)
+            d = (w_tot + c_tot + o_tot, w_alw + c_alw + o_alw)
+            depth[name] = d
+            best = (max(best[0], d[0]), max(best[1], d[1]))
+        memo[cname] = best
+        return best
+
+    entry = None
+    for name, lines in comps.items():
+        if lines and lines[0].lstrip().startswith("ENTRY"):
+            entry = name.lstrip("%")
+            break
+    if entry is None:  # fall back: max over all computations
+        return max((comp_depth(c) for c in bodies), default=(0, 0))
+    return comp_depth(entry)
 
 
 def compile_and_classify(n_particles: int, devices: int):
@@ -139,7 +212,9 @@ def compile_and_classify(n_particles: int, devices: int):
     image = jnp.zeros((camera.height, camera.width), jnp.float32)
     t = jnp.asarray(0.02, jnp.float32)
     hlo = step.lower(state, image, t).compile().as_text()
-    return classify_collectives(hlo, n_particles // devices)
+    always, gated, gated_comps = classify_collectives(hlo, n_particles // devices)
+    d_total, d_always = collective_depths(hlo, gated_comps)
+    return always, gated, d_total, d_always
 
 
 def _comm_time(table: dict, scale: float, hosts: int, p: int):
@@ -159,6 +234,23 @@ def _comm_time(table: dict, scale: float, hosts: int, p: int):
             )
         else:
             total += bytes_dev / ICI_BW + e["count"] * DCN_LAT
+    return total
+
+
+def _bytes_time(table: dict, scale: float, hosts: int, p: int):
+    """Bandwidth-only seconds/frame (launch latencies handled separately
+    via the collective critical-path depth — independent collectives
+    pipeline their launches)."""
+    total = 0.0
+    for fam, e in table.items():
+        bytes_dev = e["bytes"] * scale
+        if hosts == 2 and fam == "collective-permute":
+            cross = 2.0 / p
+            total += (
+                bytes_dev * (1 - cross) / ICI_BW + bytes_dev * cross / DCN_BW
+            )
+        else:
+            total += bytes_dev / ICI_BW
     return total
 
 
@@ -190,35 +282,40 @@ def main():
         "fps": round(1 / t1_ess, 1), "efficiency": 1.0, "comm_us": 0.0,
     }]
     for p in (2, 4, 8):
-        always, gated = compile_and_classify(args.particles, p)
+        always, gated, d_total, d_always = compile_and_classify(args.particles, p)
         scale = args.per_chip * p / args.particles  # project to 100k/chip
         for hosts in (1, 2):
-            c_always = _comm_time(always, scale, hosts, p)
-            c_gated_fire = _comm_time(gated, scale, hosts, p)
-            ring_bytes = sum(
-                e["bytes"] for f, e in gated.items() if f == "collective-permute"
-            ) * scale
-            ring_bw = DCN_BW if hosts == 2 else ICI_BW  # worst edge
-            ring_time = ring_bytes * (2.0 / p if hosts == 2 else 1.0) / ring_bw \
-                + ring_bytes * (1 - (2.0 / p if hosts == 2 else 1.0)) / ICI_BW
-
-            # ESS-amortised (production default)
-            comm = c_always + rate * c_gated_fire
+            lat_unit = DCN_LAT if hosts == 2 else ICI_LAT
+            b_always = _bytes_time(always, scale, hosts, p)
+            b_gated = _bytes_time(gated, scale, hosts, p)
+            # launch latency = collective critical-path depth x LAT:
+            # independent collectives pipeline (XLA async start/done);
+            # dependent ones serialise.  Gated depth amortised by the
+            # ESS firing rate.
+            lat = (d_always + rate * (d_total - d_always)) * lat_unit
+            comm = b_always + rate * b_gated + lat
             t = t1_ess + comm
-            hidden = rate * min(ring_time, sort_window)
-            t_ov = t - hidden
+            # serial-launch upper bound (every collective a full
+            # latency, the round-4 model) for comparison
+            comm_serial = (
+                _comm_time(always, scale, hosts, p)
+                + rate * _comm_time(gated, scale, hosts, p)
+            )
+            t_serial = t1_ess + comm_serial
             # no gate (reference resample-every-frame semantics)
-            comm_ng = c_always + c_gated_fire
+            comm_ng = b_always + b_gated + d_total * lat_unit
             t_ng = t1_noess + comm_ng
             rows.append({
                 "chips": p, "hosts": hosts,
                 "t_frame_ms": round(t * 1e3, 4),
                 "fps": round(1 / t, 1),
                 "efficiency": round(t1_ess / t, 4),
-                "efficiency_ring_overlap": round(t1_ess / t_ov, 4),
+                "efficiency_serial_launch_bound": round(t1_ess / t_serial, 4),
                 "comm_us": round(comm * 1e6, 1),
-                "comm_us_always_on": round(c_always * 1e6, 1),
-                "comm_us_per_resample_fire": round(c_gated_fire * 1e6, 1),
+                "comm_us_bytes": round((b_always + rate * b_gated) * 1e6, 1),
+                "comm_us_latency": round(lat * 1e6, 1),
+                "collective_depth_total": d_total,
+                "collective_depth_always_on": d_always,
                 "no_gate_t_frame_ms": round(t_ng * 1e3, 4),
                 "no_gate_efficiency": round(t1_noess / t_ng, 4),
                 "frame_broadcast_us_pipelined": round(FRAME_BYTES / DCN_BW * 1e6, 1),
@@ -236,9 +333,16 @@ def main():
             "collectives of the HEAD sharded step classified gated "
             "(inside the ring computations, amortised by the measured "
             f"ESS firing rate {rate}) vs always-on, v5e ICI 45 GB/s / "
-            "DCN 25 GB/s, 1/10 us launch latencies, no overlap except "
-            "the ring-payload-under-sorts column. Static counts are "
-            "upper bounds (init+track branches summed)."
+            "DCN 25 GB/s. Launch latency (1 us ICI / 10 us DCN) is "
+            "billed per COLLECTIVE CRITICAL-PATH DEPTH computed "
+            "mechanically from the compiled HLO def-use graph — "
+            "independent collectives pipeline their async launches; "
+            "dependent ones serialise (the headline model). "
+            "efficiency_serial_launch_bound is the round-4-style "
+            "worst case charging every collective a full serial "
+            "latency. No compute/communication overlap is assumed "
+            "anywhere; static depths include whichever conditional "
+            "branch is deeper (init vs track), both conservative."
         ),
         "ess_fire_rate": rate,
         "sort_window_us_per_fire": round(sort_window * 1e6, 1),

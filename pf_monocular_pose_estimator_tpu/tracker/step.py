@@ -151,6 +151,8 @@ def _resample_and_refine(
     pred_trustworthy,
     resample_fn=None,
     wrap_replicated=None,
+    ess_frac=None,
+    argmax_idx=None,
 ):
     """Resampling + GN refinement of the most-resampled particle
     (pose_estimator.cpp:668-703) + optimiseAndUpdatePose.
@@ -165,7 +167,12 @@ def _resample_and_refine(
     wrap_replicated: optional transform running a fn redundantly per
     device under manual sharding (parallel.pf_kernels.replicated) — the
     sharded step routes the replicated-operand GN Pallas kernel through
-    it so GSPMD never has to partition the custom call."""
+    it so GSPMD never has to partition the custom call.
+    ess_frac / argmax_idx: optionally precomputed ESS fraction and
+    argmax(weights) from the caller — on the multi-host path each saves
+    a cross-host collective launch per frame (the caller already paid
+    for the raw weight moments and the argmax; DCN launch latency is
+    the dominant 2-host scaling cost, SCALING_PROJECTION_r05)."""
     zero_clip = jnp.zeros((), jnp.int32)
     if "resample" in config.debug_skip:
         most = jnp.argmax(weights_norm)
@@ -224,16 +231,20 @@ def _resample_and_refine(
             # then the argmax-weight lane (identical to the
             # most-resampled lane in expectation).  Under GSPMD the sum
             # lowers to a psum and the predicate is replicated.
-            ess_frac = 1.0 / (
-                jnp.sum(weights_norm * weights_norm)
-                * jnp.asarray(weights_norm.shape[0], weights_norm.dtype)
+            if ess_frac is None:
+                ess_frac = 1.0 / (
+                    jnp.sum(weights_norm * weights_norm)
+                    * jnp.asarray(weights_norm.shape[0], weights_norm.dtype)
+                )
+            skip_most = (
+                jnp.argmax(weights_norm) if argmax_idx is None else argmax_idx
             )
             resampled16, most, clipped = jax.lax.cond(
                 ess_frac < config.resample_min_ess,
                 do_resample,
                 lambda _: (
                     bank16,
-                    jnp.argmax(weights_norm).astype(jnp.int32),
+                    skip_most.astype(jnp.int32),
                     zero_clip,
                 ),
                 None,
@@ -812,9 +823,19 @@ def tracker_step(
             best_w = jnp.where(engage, best_w * prior, best_w)
             highest = jnp.max(best_w)
 
-        w_sum = jnp.sum(best_w)
+        # both weight moments in ONE fused reduce (one all-reduce launch
+        # under GSPMD instead of two — cross-host launch latency is the
+        # dominant 2-host scaling cost, SCALING_PROJECTION_r05); the ESS
+        # fraction 1/(N*sum(wn^2)) is computed from the raw moments as
+        # s1^2/(N*s2), identical in exact arithmetic
+        moments = jnp.sum(jnp.stack([best_w, best_w * best_w]), axis=1)
+        w_sum, w_sum2 = moments[0], moments[1]
         weights_norm = jnp.where(w_sum > 0, best_w / jnp.maximum(w_sum, 1e-12), best_w)
         best_idx = jnp.argmax(best_w)
+        ess_frac_raw = (w_sum * w_sum) / (
+            jnp.maximum(w_sum2, jnp.asarray(1e-30, dtype))
+            * jnp.asarray(best_w.shape[0], dtype)
+        )
 
         accepted = (w_sum > 0) & (highest > accept_gate)
         marginal = highest < accept_gate + dyn.marginal_margin_factor.astype(dtype) * num_led_f
@@ -938,6 +959,8 @@ def tracker_step(
                     pred_trustworthy,
                     resample_fn,
                     wrap_replicated,
+                    ess_frac=ess_frac_raw,
+                    argmax_idx=best_idx,
                 )
                 state = state._replace(
                     fail_flag=jnp.where(

@@ -125,13 +125,14 @@ class TrackerConfig:
     # self-regulating here because skipped resampling lets the cloud
     # diffuse, which drives ESS down until a resample fires.  Weights
     # are per-frame scores (as in the reference), not accumulated.
-    # Default 0.15, tuned round 4 (benchmarks/_ess_acc*.json, 5 seeds on
-    # the outlier config + 3 clean seeds): fires on ~11-12% of frames
-    # (steady-state ESS ~0.3-0.85), outlier tracked fraction 0.955 vs
-    # 0.960 at parity resampling, clean ATE within seed noise
-    # (8.9-13.1 mm vs 8.2-9.2 mm), and removes ~88% of the ~0.45 ms
-    # resample cost.  tau=0.25 measured 0.94 tracked with one 84 mm ATE
-    # seed — too aggressive.  reference_parity() keeps 0.0.
+    # Default 0.15, re-tuned round 5 at f32 HEAD precision
+    # (ESS_TUNING_r05.json, tau x degraded_weight_offset x 5 seeds on
+    # the real chip): 0.98 outlier tracked / 6.5 deg mean orientation at
+    # tau=0.15; tau=0.20 degrades (0.955, a 280 mm seed), tau=0.10 is
+    # equivalent but buys less.  Firing rate is bank-size dependent
+    # (benchmarks/ess_dynamics.py at HEAD: ~42% of frames at 100k clean,
+    # ~10% at 50k outlier); the gate is worth +43.8% fps at 100k
+    # (BENCH_SESSION_r05).  reference_parity() keeps 0.0.
     resample_min_ess: float = 0.15
     # online exposure control (useOnlineExposeTimeControl / expose_time_base)
     use_online_exposure_control: bool = False
