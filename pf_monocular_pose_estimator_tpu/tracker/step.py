@@ -919,7 +919,20 @@ def tracker_step(
                 # coin-flipped per frame, so only a LOCK sustains the run.
                 strong = m_f * (m_f + jnp.asarray(config.degraded_weight_offset, dtype))
                 degraded = highest < strong
-                deg = jnp.where(degraded, state.degraded_frames + 1, 0).astype(jnp.int32)
+                # a strong frame DECAYS the counter instead of zeroing
+                # it (degraded_reset_decay): a wrong lock's occasional
+                # pseudo-strong frame (clone completing the
+                # constellation just over the bar) must not grant the
+                # lock another full degraded_reinit_frames of life
+                deg = jnp.where(
+                    degraded,
+                    state.degraded_frames + 1,
+                    jnp.maximum(
+                        state.degraded_frames - config.degraded_reset_decay, 0
+                    )
+                    if config.degraded_reset_decay > 0
+                    else 0,
+                ).astype(jnp.int32)
                 force_reinit = deg >= config.degraded_reinit_frames
                 state = state._replace(
                     degraded_frames=jnp.where(force_reinit, 0, deg),

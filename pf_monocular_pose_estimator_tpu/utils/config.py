@@ -210,6 +210,19 @@ class TrackerConfig:
     # poses indefinitely — its uncertainty ladder never fires above the
     # accept gate).
     degraded_reinit_frames: int = 12
+    # Strong-frame handling for the degraded counter (round 5): a wrong
+    # lock occasionally produces a single pseudo-strong frame (a clone
+    # filling the constellation can push the best weight just over the
+    # M*(M+offset) bar — measured 27.7 vs the 27.5 threshold), and a
+    # hard reset then lets the lock survive indefinitely (the 1k-seed-4
+    # diagnostic: a 117-deg re-init lock rode 2 pseudo-strong frames in
+    # 13 to stay alive).  A strong frame now DECAYS the counter by this
+    # amount instead of zeroing it: healthy outlier tracking (coin-flip
+    # occlusions: P(degraded) ~ 0.5) drifts the counter down at
+    # -decay/2 + 1/2 per frame, while a wrong lock (P(degraded) >~ 0.8)
+    # climbs and fires the ladder within ~2x degraded_reinit_frames.
+    # 0 restores the hard reset.
+    degraded_reset_decay: int = 2
     # Coast through isolated PF rejections (engine extension; 0 =
     # reference parity).  The reference resets the whole track the
     # moment no particle clears the accept gate (:707-719) — on an
