@@ -131,8 +131,9 @@ def render() -> str:
     p("engine (both at mm scale); under the fault load the engine's")
     p("robustness extensions dominate the reference behaviour (details and")
     p("per-seed tables: `PARITY.md`). Outlier-config orientation error is")
-    p("isolated single-frame excursions, not wrong locks — bounded in")
-    p("`tests/test_robustness.py` (per-seed median ≤ 3°).")
+    p("isolated excursions plus occasional bounded clone-offset episodes")
+    p("that the degraded ladder breaks — bounded in")
+    p("`tests/test_robustness.py` (pooled median ≤ 3°; episode tail ≤ 17°).")
     p("")
     p("## Scale-out")
     p("")

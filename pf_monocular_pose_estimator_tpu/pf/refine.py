@@ -226,10 +226,18 @@ def gauss_newton_refine(
         # small budgets: fully unroll with convergence masking — a TPU
         # while_loop costs ~35 us of sync per trip (and, measured on
         # v5e, perturbs XLA's layout/scheduling choices for the whole
-        # step by ~1 ms/frame); unrolled iterations fuse and pipeline
-        carry = init
-        for _ in range(max_iterations):
-            carry = body(carry)
+        # step by ~1 ms/frame); unrolled iterations fuse and pipeline.
+        # scan(unroll=True) emits the SAME fully-unrolled computation
+        # as a Python loop but traces the body ONCE — the Python unroll
+        # was ~10 s of the ~17 s flagship trace time (the warm-start
+        # floor), retracing 25 iterations x 2 call sites (round 5).
+        carry, _ = jax.lax.scan(
+            lambda c, _: (body(c), None),
+            init,
+            None,
+            length=max_iterations,
+            unroll=True,
+        )
         pose, done, n_iter, _ = carry
     else:
         pose, done, n_iter, _ = jax.lax.while_loop(cond, body, init)
