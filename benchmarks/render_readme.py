@@ -68,13 +68,15 @@ def render() -> str:
     p("|---|---|")
     p(f"| 100k particles, 1 target (`bench.py`) | **{fps} fps** "
       f"({r['100k_default_warm']['particles_weighted_per_s']/1e6:.0f}M particles-weighted/s) |")
+    shard_pct = (r['100k_sharded_mesh']['fps'] / fps - 1.0) * 100
     p(f"| 100k, mesh-sharded program (`--sharded`: shard_map Pallas PF + distributed resampler) | "
-      f"**{r['100k_sharded_mesh']['fps']} fps** (−1.0% vs unsharded) |")
+      f"**{r['100k_sharded_mesh']['fps']} fps** ({shard_pct:+.1f}% vs unsharded) |")
     p(f"| 1M particles, 1 target | **{r['1M_particles']['fps']} fps** "
       f"({r['1M_particles']['particles_weighted_per_s']/1e6:.0f}M particles-weighted/s) |")
     p(f"| 4 targets × 25k particles | {r['4targets_25k']['fps']} fps |")
+    gate_pct = (fps / r['100k_ess_off']['fps'] - 1.0) * 100
     p(f"| 100k, resample every frame (`--ess-tau 0.0`, reference semantics) | "
-      f"{r['100k_ess_off']['fps']} fps (the ESS gate is +43.8%) |")
+      f"{r['100k_ess_off']['fps']} fps (the ESS gate is +{gate_pct:.1f}%) |")
     p(f"| cold / warm start (persistent compile cache) | "
       f"{r['100k_default_cold']['compile_s']} s / {r['100k_default_warm']['compile_s']} s |")
     p("")
