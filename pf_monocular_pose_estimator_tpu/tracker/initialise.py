@@ -157,6 +157,29 @@ def initialise(
         consistent = (
             cand_success & (t_err <= config.init_consistency_radius)
         ) & (prefer_near[3] > 0)
+        if (
+            prefer_near.shape[0] >= 13
+            and config.init_consistency_rotation_deg > 0.0
+        ):
+            # rotation leg (round 5): a wrong-basin candidate can sit
+            # translationally near the remembered pose but heavily
+            # rotated (flipped-mode landings); require the preferred
+            # candidate to ALSO be within init_consistency_rotation_deg
+            # of the remembered orientation (rows 4..12 = remembered
+            # R, row-major)
+            r_prev = prefer_near[4:13].reshape(3, 3)
+            r_rel = jnp.einsum("cij,kj->cik", results.pose[:, :3, :3], r_prev)
+            cos_a = jnp.clip(
+                (jnp.trace(r_rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0
+            )
+            rot_ok = cos_a >= jnp.cos(
+                jnp.deg2rad(
+                    jnp.asarray(
+                        config.init_consistency_rotation_deg, cos_a.dtype
+                    )
+                )
+            )
+            consistent = consistent & rot_ok
         first = jnp.where(jnp.any(consistent), jnp.argmax(consistent), first)
     pose = results.pose[first]
     det_for_marker = cand_dfm[first]

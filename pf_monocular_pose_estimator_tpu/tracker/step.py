@@ -504,8 +504,14 @@ def tracker_step(
                 (jnp.linalg.norm(prev_t) > 1e-6)
                 & (state.uncertainty < config.init_consistency_uncertainty_cap)
             )
+            # [t (3), active (1), remembered R row-major (9)] — the
+            # rotation rows feed prefer_near's rotation-consistency leg
             prefer = jnp.concatenate(
-                [prev_t, gate_active.astype(dtype)[None]]
+                [
+                    prev_t,
+                    gate_active.astype(dtype)[None],
+                    state.current_pose[:3, :3].reshape(9),
+                ]
             )
             return initialise(
                 camera, det, markers_h, marker_mask, state.bank, config, dyn,
@@ -579,6 +585,22 @@ def tracker_step(
                 jnp.linalg.norm(init_res.pose[:3, 3] - prev_t)
                 > config.init_consistency_radius
             )
+            if config.init_consistency_rotation_deg > 0.0:
+                # rotation leg: a wrong landing can sit translationally
+                # near the remembered pose but heavily rotated (the
+                # flipped-mode solutions; see the config docstring)
+                r_rel = init_res.pose[:3, :3] @ state.current_pose[:3, :3].T
+                cos_a = jnp.clip((jnp.trace(r_rel) - 1.0) / 2.0, -1.0, 1.0)
+                far = far | (
+                    cos_a
+                    < jnp.cos(
+                        jnp.deg2rad(
+                            jnp.asarray(
+                                config.init_consistency_rotation_deg, dtype
+                            )
+                        )
+                    )
+                )
             inconsistent = init_res.success & had_track & recently & far
             init_res = init_res._replace(
                 success=init_res.success & ~inconsistent,
@@ -934,15 +956,35 @@ def tracker_step(
                     else 0,
                 ).astype(jnp.int32)
                 force_reinit = deg >= config.degraded_reinit_frames
+                # Degraded re-init keeps a WEAK consistency veto (round
+                # 5): uncertainty lands one reject-bump below the gate
+                # cap rather than at it.  A degraded lock is wrong in
+                # ORIENTATION/binding but translationally near the
+                # truth (measured 30-60 mm), while the classic wrong
+                # LANDING of an unconstrained re-init is the
+                # 180-flipped solution ~0.3-0.7 m away (measured
+                # 433 mm ATE seeds) — the still-engaged gate vetoes it
+                # once or twice (each veto bumps uncertainty by
+                # init_consistency_reject_bump, so the gate fully
+                # unlatches within ~2 frames if only far candidates
+                # exist), and prefer_near picks a translationally
+                # consistent candidate when one validates.
+                reinit_unc = jnp.asarray(
+                    max(
+                        config.init_consistency_uncertainty_cap
+                        - config.init_consistency_reject_bump
+                        - 1,
+                        0,
+                    ),
+                    jnp.int32,
+                )
                 state = state._replace(
                     degraded_frames=jnp.where(force_reinit, 0, deg),
                     it_since_initialized=jnp.where(
                         force_reinit, 0, state.it_since_initialized
                     ),
                     uncertainty=jnp.where(
-                        force_reinit,
-                        jnp.asarray(config.init_consistency_uncertainty_cap, jnp.int32),
-                        state.uncertainty,
+                        force_reinit, reinit_unc, state.uncertainty
                     ),
                     fail_flag=jnp.where(
                         force_reinit,

@@ -188,6 +188,16 @@ class TrackerConfig:
     # certainty checks but teleport the pose.  0.0 disables (reference
     # parity: the reference accepts any validated init).
     init_consistency_radius: float = 0.08
+    # rotation leg of the temporal-consistency gate (round 5): a wrong
+    # re-init can land translationally NEAR the remembered pose but
+    # heavily rotated (measured: a 70 mm / 69 deg flipped-mode landing
+    # sailed through the translation-only gate and locked for the rest
+    # of the window).  While recently tracking, also veto validated
+    # inits rotated more than this many degrees from the remembered
+    # orientation; a degraded lock's remembered orientation is itself
+    # only ~10-20 deg off, so genuine re-acquires pass and each veto
+    # still bumps uncertainty toward the unlatch.  0 disables.
+    init_consistency_rotation_deg: float = 35.0
     init_consistency_uncertainty_cap: int = 60
     # Each rejected-as-inconsistent init bumps uncertainty by this much
     # (on top of the ordinary failure bump): a VALIDATED init the gate
@@ -210,19 +220,23 @@ class TrackerConfig:
     # poses indefinitely — its uncertainty ladder never fires above the
     # accept gate).
     degraded_reinit_frames: int = 12
-    # Strong-frame handling for the degraded counter (round 5): a wrong
-    # lock occasionally produces a single pseudo-strong frame (a clone
-    # filling the constellation can push the best weight just over the
-    # M*(M+offset) bar — measured 27.7 vs the 27.5 threshold), and a
-    # hard reset then lets the lock survive indefinitely (the 1k-seed-4
-    # diagnostic: a 117-deg re-init lock rode 2 pseudo-strong frames in
-    # 13 to stay alive).  A strong frame now DECAYS the counter by this
-    # amount instead of zeroing it: healthy outlier tracking (coin-flip
-    # occlusions: P(degraded) ~ 0.5) drifts the counter down at
-    # -decay/2 + 1/2 per frame, while a wrong lock (P(degraded) >~ 0.8)
-    # climbs and fires the ladder within ~2x degraded_reinit_frames.
-    # 0 restores the hard reset.
-    degraded_reset_decay: int = 2
+    # Strong-frame handling for the degraded counter (round 5): with
+    # decay > 0 a strong frame DECAYS the counter by this amount
+    # instead of zeroing it, so a wrong lock's occasional pseudo-strong
+    # frame (a clone completing the constellation just over the
+    # M*(M+offset) bar — measured 27.7 vs 27.5) cannot grant the lock
+    # another full degraded_reinit_frames of life.  MEASURED NEGATIVE
+    # as a default (80-frame outlier config, 50k, 5 seeds): decay=2
+    # fires 1-3 re-inits/seed and each re-init under clone-corrupted
+    # detections is a fresh chance to land in a wrong basin — tracked
+    # 0.875 / mean orientation 29 deg vs 0.923 / 17 deg with the hard
+    # reset; the re-init LANDING quality, not lock detection, is the
+    # bottleneck.  Default 0 (hard reset, the round-4 behaviour); the
+    # knob remains for deployments where unbounded lock duration is
+    # worse than re-init churn (the rotation-consistency gate,
+    # init_consistency_rotation_deg, blocks the worst flipped-mode
+    # landings either way).
+    degraded_reset_decay: int = 0
     # Coast through isolated PF rejections (engine extension; 0 =
     # reference parity).  The reference resets the whole track the
     # moment no particle clears the accept gate (:707-719) — on an

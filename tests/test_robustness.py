@@ -91,9 +91,9 @@ def test_outlier_heavy_tracked_fraction_and_median():
     # Orientation bars (round-5, VERDICT r4 weak #6).  Per-frame
     # diagnostics (the round-5 excursion analysis) show the
     # outlier-config orientation error is mostly ISOLATED single-frame
-    # excursions, with an occasional seed developing a mild
-    # clone-offset episode (10-18 deg) that the degraded ladder breaks
-    # within ~2x degraded_reinit_frames; which seed draws an episode is
+    # excursions, with an occasional seed developing a mild bounded
+    # clone-offset episode (10-18 deg) that self-corrects or trips the
+    # degraded ladder; which seed draws an episode is
     # trajectory-chaotic (any ulp-level numerics change reshuffles it).
     # The reference pipeline under the identical fault load is strictly
     # worse (PARITY.md: oracle up to 234 mm / 44.7 deg seeds).  Two
